@@ -1,0 +1,148 @@
+package graft.stats
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PropertyStats registry: the reference's weighted statistics
+  * (featurebox/featurizers/extrastats.py) re-expressed as compositions of
+  * native power-sum aggregates — every stat here stays inside whole-stage
+  * codegen (no UDAFs) and combines map-side (partial aggregation), so a
+  * 100 TB groupBy pays one shuffle of O(groups) partial buffers.
+  *
+  * Numeric conventions preserved from the reference (SURVEY.md §2.4):
+  *  - std_dev: population (ddof=0) unweighted; weighted uses the unbiased
+  *    beta = Σw / ((Σw)² − Σw²) form (extrastats.py:147-152).
+  *  - skewness: u3/u2^1.5 with moments about the weighted mean.
+  *  - kurtosis: PEARSON u4/u2² (not excess — Spark's builtin is excess).
+  *  - holder_mean: power mean incl. p=0 geometric via exp∘ln.
+  *  - mode: smallest value among the most frequent (min tie-break).
+  */
+object WeightedStats {
+
+  private def wsum(x: Column, w: Column, p: Int): Column = {
+    val xp = p match {
+      case 0 => lit(1.0)
+      case 1 => x
+      case 2 => x * x
+      case 3 => x * x * x
+      case 4 => x * x * x * x
+      case n => pow(x, lit(n))
+    }
+    sum(w * xp)
+  }
+
+  /** Weighted mean: Σwx / Σw (np.average). */
+  def mean(x: Column, w: Column): Column = wsum(x, w, 1) / sum(w)
+
+  /** Mean of reciprocals: Σ(w/x) / Σw. */
+  def inverseMean(x: Column, w: Column): Column = sum(w / x) / sum(w)
+
+  /** Weighted geometric mean: exp(Σ w·ln x / Σw). */
+  def geometricMean(x: Column, w: Column): Column =
+    exp(sum(w * log(x)) / sum(w))
+
+  /** Weighted harmonic mean: Σw / Σ(w/x). */
+  def harmonicMean(x: Column, w: Column): Column = sum(w) / sum(w / x)
+
+  /** Weighted variance about the weighted mean (population form):
+    * Σw(x−μ)²/Σw = Σwx²/Σw − μ². Algebraic single pass.
+    */
+  def variancePop(x: Column, w: Column): Column = {
+    val mu = mean(x, w)
+    wsum(x, w, 2) / sum(w) - mu * mu
+  }
+
+  /** Reference weighted std (extrastats.py:147-152): unbiased with
+    * beta = Σw / ((Σw)² − Σw²); sqrt(beta · Σw(x−μ)²); 0 when n == 1.
+    */
+  def stdDevWeighted(x: Column, w: Column): Column = {
+    val sw = sum(w)
+    val mu = mean(x, w)
+    val m2 = wsum(x, w, 2) - lit(2.0) * mu * wsum(x, w, 1) + mu * mu * sw
+    val beta = sw / (sw * sw - sum(w * w))
+    when(count(x) === 1, lit(0.0)).otherwise(sqrt(beta * m2))
+  }
+
+  /** Unweighted population std (np.std, ddof=0). */
+  def stdDevPop(x: Column): Column = {
+    val n = count(x).cast("double")
+    val mu = sum(x) / n
+    sqrt(sum(x * x) / n - mu * mu)
+  }
+
+  /** Weighted skewness u3 / u2^1.5 with central moments about the weighted
+    * mean (extrastats.py:154-181); 0 when n == 1.
+    */
+  def skewness(x: Column, w: Column): Column = {
+    val sw = sum(w)
+    val mu = mean(x, w)
+    val u2 = wsum(x, w, 2) / sw - mu * mu
+    val u3 = wsum(x, w, 3) / sw - lit(3.0) * mu * (wsum(x, w, 2) / sw) +
+      lit(2.0) * mu * mu * mu
+    when(count(x) === 1, lit(0.0))
+      .otherwise(when(abs(u3) < 1e-13, lit(0.0)).otherwise(u3 / pow(u2, 1.5)))
+  }
+
+  /** Weighted Pearson kurtosis u4/u2² (NOT excess; Spark's builtin − ours = 3). */
+  def kurtosisPearson(x: Column, w: Column): Column = {
+    val sw = sum(w)
+    val mu = mean(x, w)
+    val m1 = wsum(x, w, 1) / sw
+    val m2 = wsum(x, w, 2) / sw
+    val m3 = wsum(x, w, 3) / sw
+    val m4 = wsum(x, w, 4) / sw
+    val u2 = m2 - mu * mu
+    val u4 = m4 - lit(4.0) * mu * m3 + lit(6.0) * mu * mu * m2 -
+      lit(3.0) * mu * mu * mu * m1
+    when(count(x) === 1, lit(0.0)).otherwise(u4 / (u2 * u2))
+  }
+
+  /** Holder (power) mean: p = 0 → weighted geometric; p = −1 → harmonic;
+    * otherwise (Σ w x^p / Σw)^(1/p). (extrastats.py:257-297)
+    */
+  def holderMean(x: Column, w: Column, p: Double): Column =
+    if (p == 0.0) geometricMean(x, w)
+    else pow(sum(w * pow(x, lit(p))) / sum(w), lit(1.0 / p))
+
+  /** Geometric std dev: sqrt(exp(beta · Σ w ln²(x/gmean))). */
+  def geomStdDev(x: Column, w: Column): Column = {
+    val sw = sum(w)
+    val lx = sum(w * log(x)) / sw // ln gmean
+    val m2 = sum(w * log(x) * log(x)) - lit(2.0) * lx * sum(w * log(x)) +
+      lx * lx * sw
+    val beta = sw / (sw * sw - sum(w * w))
+    sqrt(exp(beta * m2))
+  }
+
+  /** NaN-poisoned min/max (numpy propagates NaN; Spark orders it largest). */
+  def minNaN(x: Column): Column =
+    when(max(isnan(x).cast("int")) === 1, lit(Double.NaN)).otherwise(min(x))
+  def maxNaN(x: Column): Column =
+    when(max(isnan(x).cast("int")) === 1, lit(Double.NaN)).otherwise(max(x))
+  def rangeNaN(x: Column): Column = maxNaN(x) - minNaN(x)
+
+  /** Mode with min tie-break: smallest value among the most frequent
+    * (extrastats.py:234-255). Two-stage aggregation — both stages combine
+    * map-side, so it scales: groupBy(keys :+ value).count, then per keys
+    * `max_by(value, struct(count, -value))` picks the highest count and,
+    * on ties, the smallest value.
+    */
+  def modeMinTie(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      value: String
+  ): org.apache.spark.sql.DataFrame = {
+    val counted = df
+      .groupBy((keys :+ value).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    counted
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col(value), struct(col("__cnt"), negate(col(value))))
+        .as(s"${value}_mode"))
+  }
+
+  /** Exact quantile with linear interpolation — numpy/np.quantile parity.
+    * Spark's `percentile` implements exactly this.
+    */
+  def quantile(x: Column, q: Double): Column = percentile(x, lit(q))
+}

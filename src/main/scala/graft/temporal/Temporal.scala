@@ -1,0 +1,189 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Point-in-time feature operators: backward as-of join, sessionization,
+  * backfill, lag/lead/rolling descriptors.
+  *
+  * Zero-leakage invariant (BASELINE.json north_rule): every window frame ends
+  * at the current row; the as-of join only ever surfaces right-side rows with
+  * `ts <= left.ts` (tiebreak `turn_idx`). Property-tested in TemporalSpec.
+  *
+  * Scale notes: all operators are single-shuffle. `asofJoin` is implemented
+  * as a union + partitioned sort + running `last(ignoreNulls)` — exactly the
+  * sort-merge-within-partition plan the north star asks for, expressed
+  * declaratively so Catalyst/AQE own partition sizing and skew splitting.
+  * A conversation lands in one task; mega-conversation skew is handled by
+  * AQE skew-join plus the salted repartition helpers in [[Skew]].
+  */
+object AsOf {
+
+  /** Backward as-of join: for each left row, attach the payload of the
+    * latest right row with the same `key` and `rightTs <= leftTs`; among
+    * right rows at the identical timestamp the greatest `tiebreak` wins.
+    * Left rows with no admissible right row get a null payload (never a
+    * future row — zero temporal leakage).
+    *
+    * Plan shape: both sides are projected to a common schema and unioned;
+    * one hash-shuffle on `key`; within each partition rows are sorted by
+    * (ts, side, tiebreak) with right-before-left at equal ts (inclusive
+    * bound); a running `last(payload, ignoreNulls=true)` propagates the most
+    * recent snapshot forward. One shuffle total — cheaper than the
+    * join-then-filter-then-argmax plan (two shuffles + an exploding
+    * intermediate) and never materializes a left×right blowup.
+    *
+    * @param left      probe side (entity timestamps)
+    * @param right     snapshot side
+    * @param key       join key column name present on both sides
+    * @param leftTs    timestamp column on `left`
+    * @param rightTs   timestamp column on `right`
+    * @param tiebreak  ordering column on `right` for identical timestamps
+    * @param payload   right columns to carry; emitted under the same names
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      tiebreak: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(payload.map(col): _*)
+
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1)) // left AFTER right at equal ts => inclusive
+      .withColumn("__tie", lit(Int.MaxValue))
+      .withColumn("__payload", lit(null).cast(
+        right.select(payloadStruct).schema.head.dataType))
+
+    val r = right
+      .select((col(key).as(key) +: Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        col(tiebreak).cast("int").as("__tie"),
+        payloadStruct.as("__payload")
+      )) ++ leftCols.filterNot(_ == key).map(c => lit(null).cast(
+        left.schema(c).dataType).as(c)): _*)
+
+    val unioned = l.select((key +: leftCols.filterNot(_ == key)).map(col) ++
+      Seq(col("__ts"), col("__side"), col("__tie"), col("__payload")): _*)
+      .unionByName(r.select((key +: leftCols.filterNot(_ == key)).map(col) ++
+        Seq(col("__ts"), col("__side"), col("__tie"), col("__payload")): _*))
+
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = unioned
+      .withColumn("__snap", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val out = payload.foldLeft(filled) { (df, p) =>
+      df.withColumn(p, col("__snap").getField(p))
+    }
+    out.select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+}
+
+object Sessionize {
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous row in the same partition exceeds `gapSeconds`. session_idx is
+    * 0-based and monotone within the partition; session_id is globally
+    * unique as (key, session_idx).
+    *
+    * Single shuffle (one window partition pass); the cumulative sum never
+    * looks ahead — leakage-free by construction.
+    */
+  def byGap(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      order: Seq[String],
+      gapSeconds: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    // integer microsecond arithmetic: exact, and identical to the DuckDB
+    // oracle's epoch_us() — no sub-second truncation mismatch
+    // cast handles TIMESTAMP_NTZ parquet columns (session tz is UTC)
+    val tsUs = unix_micros(col(ts).cast("timestamp"))
+    val gap = tsUs - unix_micros(lag(col(ts), 1).over(w).cast("timestamp"))
+    val newSess = when(gap.isNull || gap <= gapSeconds * 1000000L, 0).otherwise(1)
+    df.withColumn(
+      "session_idx",
+      sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+  }
+}
+
+object Backfill {
+
+  /** Per-partition forward fill: replace nulls with the last preceding
+    * non-null value in (key, order) — the reference's per-conversation
+    * backfill. Frame ends at the current row: no future value ever leaks.
+    */
+  def lastNonNull(df: DataFrame, key: String, order: Seq[String], cols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c + "_filled", last(col(c), ignoreNulls = true).over(w)))
+  }
+}
+
+object Descriptors {
+
+  def convWindow(key: String, order: Seq[String]): WindowSpec =
+    Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+
+  /** lag/lead/rolling descriptor pack over one partitioned order.
+    * All rolling frames are (-k, 0] — zero leakage.
+    */
+  def pack(
+      df: DataFrame,
+      key: String,
+      order: Seq[String],
+      valueCol: Column,
+      lags: Seq[Int],
+      rollingRows: Int,
+      rollingPred: Column
+  ): DataFrame = {
+    val w = convWindow(key, order)
+    val wr = w.rowsBetween(-(rollingRows - 1), 0)
+    val withLags = lags.foldLeft(df)((d, k) =>
+      d.withColumn(s"lag_$k", lag(valueCol, k).over(w)))
+    withLags
+      .withColumn(s"rolling_cnt_$rollingRows",
+        sum(when(rollingPred, 1).otherwise(0)).over(wr))
+      .withColumn(s"rolling_sum_$rollingRows", sum(valueCol).over(wr))
+  }
+}
+
+/** Skew tooling for mega-conversations (north_star: salted repartitioning +
+  * AQE skew-join hints).
+  */
+object Skew {
+
+  /** Add a salt column splitting rows of hot keys into `buckets` sub-keys.
+    * Use for aggregations that are algebraically mergeable (partial agg per
+    * (key, salt), then final agg per key). Window/as-of operators must keep
+    * conversations whole, so they rely on AQE instead.
+    */
+  def salted(df: DataFrame, key: String, buckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+
+  /** Two-phase skew-proof count per key: partial per (key, salt), merge. */
+  def countByKeySkewProof(df: DataFrame, key: String, buckets: Int): DataFrame =
+    salted(df, key, buckets)
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+}

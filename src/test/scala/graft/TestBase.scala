@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test run (suites run in one JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = graft.core.GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class GraftSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sfSmall = "/root/testdata/sf0.001"
+
+  def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * (1.0 + math.abs(b))
+}
