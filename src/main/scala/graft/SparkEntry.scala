@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.{Tables, Transcripts}
 import graft.temporal.{AsOf, Backfill, Descriptors, Sessionize}
 import graft.stats.WeightedStats
+import graft.featurize.{Composition, Depart, FormulaParser, Magnitude, Poly, UnionPool}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -121,6 +122,112 @@ object SparkEntry {
         purchaseSnapshots(e),
         key = "user_id", leftTs = "ts", rightTs = "snap_ts",
         tiebreak = "snap_event_id", payload = Seq("snap_value"))
+    }),
+
+    // ---- featurebox statistics layer --------------------------------------
+    "q09_weighted_stats" -> ((s, dir) => {
+      val x = col("l_extendedprice"); val w = col("l_quantity")
+      li(s, dir).groupBy(col("l_returnflag")).agg(
+        round(WeightedStats.mean(x, w), 4).as("wmean"),
+        round(WeightedStats.stdDevWeighted(x, w), 4).as("wstd"),
+        round(WeightedStats.skewness(x, w), 6).as("wskew"),
+        round(WeightedStats.kurtosisPearson(x, w), 6).as("wkurt"))
+    }),
+
+    "q10_holder_means" -> ((s, dir) => {
+      val x = col("l_extendedprice"); val w = col("l_quantity")
+      li(s, dir).groupBy(col("l_linestatus")).agg(
+        round(WeightedStats.holderMean(x, w, 2.0), 4).as("holder2"),
+        round(WeightedStats.holderMean(x, w, 3.0), 4).as("holder3"),
+        round(WeightedStats.geometricMean(x, w), 4).as("geom"),
+        round(WeightedStats.harmonicMean(x, w), 4).as("harm"))
+    }),
+
+    "q11_mode_mintie" -> ((s, dir) => {
+      WeightedStats.modeMinTie(li(s, dir), Seq("l_returnflag"), "l_quantity")
+    }),
+
+    "q12_quantile" -> ((s, dir) => {
+      val x = col("l_extendedprice")
+      li(s, dir).groupBy(col("l_returnflag")).agg(
+        round(WeightedStats.quantile(x, 0.25), 6).as("q25"),
+        round(WeightedStats.quantile(x, 0.5), 6).as("q50"),
+        round(WeightedStats.quantile(x, 0.75), 6).as("q75"))
+    }),
+
+    // ---- composition featurizers ------------------------------------------
+    "q13_composition_featurize" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val comp = Composition.compositionLong(e, "user_id", "event_type")
+      val lookup = e.groupBy(col("event_type")).agg(avg(col("value")).as("a"))
+      val f = Composition.featurize(comp, lookup, "user_id", "event_type", Seq("a"))
+      f.select(col("user_id"),
+        round(col("a_wavg"), 6).as("wavg"), round(col("a_wsum"), 4).as("wsum"),
+        round(col("a_geom"), 6).as("geom"), round(col("a_harm"), 6).as("harm"),
+        round(col("a_wvar"), 6).as("wvar"),
+        round(col("a_maxp"), 6).as("maxp"), round(col("a_minp"), 6).as("minp"))
+    }),
+
+    "q14_depart_pivot" -> ((s, dir) => {
+      Depart.pivotCounts(ev(s, dir), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+    }),
+
+    "q15_poly_features" -> ((s, dir) => {
+      val out = Poly.transform(
+        li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("x0"), col("l_discount").as("x1")),
+        Seq("x0", "x1"), Seq(0, 1, 2))
+      out.select(col("l_orderkey") +: col("l_linenumber") +:
+        out.columns.filter(_.contains("^")).map(c =>
+          round(col(s"`$c`"), 6).as(c)): _*)
+    }),
+
+    "q16_magnitude" -> ((s, dir) => {
+      val d = li(s, dir)
+      val model = Magnitude.fit(d, Seq("l_extendedprice", "l_quantity"))
+      model.transform(d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 6).as("price_scaled"),
+          round(col("l_quantity"), 6).as("qty_scaled"))
+    }),
+
+    "q17_union_rowstats" -> ((s, dir) => {
+      UnionPool.rowStats(
+        li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("row_mean"), 6).as("row_mean"),
+          round(col("row_std"), 6).as("row_std"),
+          round(col("row_min"), 6).as("row_min"),
+          round(col("row_max"), 6).as("row_max"))
+    }),
+
+    "q18_formula_featurize" -> ((s, dir) => {
+      // formula strings synthesized from part attributes, parsed from
+      // scratch, pooled against a 2-row lookup table (element-table analog)
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), format_string("H%dO%d",
+          pmod(col("p_size"), lit(5)) + 1, pmod(col("p_size"), lit(3)) + 1)
+          .as("formula"))
+      val parsed = p.withColumn("comp", FormulaParser.parseCol(col("formula")))
+      val exploded = parsed.select(col("p_partkey"),
+        explode(col("comp")).as(Seq("sym", "n")))
+      val lookup = s.createDataFrame(Seq(("H", 1.008), ("O", 15.999)))
+        .toDF("sym", "mass")
+      exploded.join(broadcast(lookup), Seq("sym"))
+        .groupBy(col("p_partkey"))
+        .agg(round(sum(col("n") * col("mass")), 6).as("molar_mass"),
+          round(sum(col("n") * col("mass")) / sum(col("n")), 6).as("mean_mass"))
+    }),
+
+    "q19_token_stats" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = filter(split(trim(col("text")), " "), t => t =!= "")
+      d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
     })
   )
 
@@ -208,6 +315,135 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, s.snap_value
         |FROM events e
         |ASOF LEFT JOIN snaps s
-        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
+
+    "q09_weighted_stats" ->
+      """WITH ps AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity) AS sw,
+        |    sum(l_quantity*l_quantity) AS sww,
+        |    sum(l_quantity*l_extendedprice) AS s1,
+        |    sum(l_quantity*l_extendedprice*l_extendedprice) AS s2,
+        |    sum(l_quantity*l_extendedprice*l_extendedprice*l_extendedprice) AS s3,
+        |    sum(l_quantity*l_extendedprice*l_extendedprice*l_extendedprice*l_extendedprice) AS s4
+        |  FROM lineitem GROUP BY 1
+        |), st AS (SELECT *, s1/sw AS mu FROM ps)
+        |SELECT l_returnflag,
+        |  round(mu, 4) AS wmean,
+        |  round(CASE WHEN n = 1 THEN 0.0
+        |    ELSE sqrt((sw/(sw*sw - sww)) * (s2 - 2*mu*s1 + mu*mu*sw)) END, 4) AS wstd,
+        |  round(CASE WHEN n = 1 THEN 0.0
+        |    WHEN abs(s3/sw - 3*mu*(s2/sw) + 2*mu*mu*mu) < 1e-13 THEN 0.0
+        |    ELSE (s3/sw - 3*mu*(s2/sw) + 2*mu*mu*mu)
+        |         / power(s2/sw - mu*mu, 1.5) END, 6) AS wskew,
+        |  round(CASE WHEN n = 1 THEN 0.0
+        |    ELSE (s4/sw - 4*mu*(s3/sw) + 6*mu*mu*(s2/sw) - 3*mu*mu*mu*mu)
+        |         / ((s2/sw - mu*mu) * (s2/sw - mu*mu)) END, 6) AS wkurt
+        |FROM st""".stripMargin,
+
+    "q10_holder_means" ->
+      """SELECT l_linestatus,
+        |  round(power(sum(l_quantity*power(l_extendedprice, 2.0))/sum(l_quantity), 0.5), 4) AS holder2,
+        |  round(power(sum(l_quantity*power(l_extendedprice, 3.0))/sum(l_quantity), 1.0/3.0), 4) AS holder3,
+        |  round(exp(sum(l_quantity*ln(l_extendedprice))/sum(l_quantity)), 4) AS geom,
+        |  round(sum(l_quantity)/sum(l_quantity/l_extendedprice), 4) AS harm
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q11_mode_mintie" ->
+      """WITH counted AS (
+        |  SELECT l_returnflag, l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT l_returnflag, v, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY c DESC, v ASC) AS rn
+        |  FROM counted
+        |)
+        |SELECT l_returnflag, v AS l_quantity_mode FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q12_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q13_composition_featurize" ->
+      """WITH attr AS (
+        |  SELECT event_type, avg(value) AS a FROM events GROUP BY 1
+        |), comp AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  round(sum(n*a)/sum(n), 6) AS wavg,
+        |  round(sum(n*a), 4) AS wsum,
+        |  round(exp(sum(n*ln(a))/sum(n)), 6) AS geom,
+        |  round(sum(n)/sum(n/a), 6) AS harm,
+        |  round(sum(n*a*a)/sum(n) - (sum(n*a)/sum(n))*(sum(n*a)/sum(n)), 6) AS wvar,
+        |  round(max(a), 6) AS maxp,
+        |  round(min(a), 6) AS minp
+        |FROM comp JOIN attr USING (event_type)
+        |GROUP BY user_id""".stripMargin,
+
+    "q14_depart_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q15_poly_features" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity, 6) AS "x0^1",
+        |  round(power(l_quantity, 2), 6) AS "x0^2",
+        |  round(l_discount, 6) AS "x1^1",
+        |  round(power(l_discount, 2), 6) AS "x1^2",
+        |  round(l_quantity * l_discount, 6) AS "x0^1*x1^1",
+        |  round(l_quantity * power(l_discount, 2), 6) AS "x0^1*x1^2",
+        |  round(power(l_quantity, 2) * l_discount, 6) AS "x0^2*x1^1",
+        |  round(power(l_quantity, 2) * power(l_discount, 2), 6) AS "x0^2*x1^2"
+        |FROM lineitem""".stripMargin,
+
+    "q16_magnitude" ->
+      """WITH s AS (
+        |  SELECT power(10, floor(log10(avg(abs(l_extendedprice))))) AS se,
+        |         power(10, floor(log10(avg(abs(l_quantity))))) AS sq
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice/se, 6) AS price_scaled,
+        |  round(l_quantity/sq, 6) AS qty_scaled
+        |FROM lineitem, s""".stripMargin,
+
+    "q17_union_rowstats" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_quantity + l_extendedprice + l_discount)/3, 6) AS row_mean,
+        |  round(sqrt(
+        |    (l_quantity*l_quantity + l_extendedprice*l_extendedprice + l_discount*l_discount)/3
+        |    - ((l_quantity + l_extendedprice + l_discount)/3)
+        |      * ((l_quantity + l_extendedprice + l_discount)/3)), 6) AS row_std,
+        |  round(least(l_quantity, l_extendedprice, l_discount), 6) AS row_min,
+        |  round(greatest(l_quantity, l_extendedprice, l_discount), 6) AS row_max
+        |FROM lineitem""".stripMargin,
+
+    "q18_formula_featurize" ->
+      """WITH f AS (
+        |  SELECT p_partkey,
+        |    CAST(p_size % 5 + 1 AS DOUBLE) AS nh,
+        |    CAST(p_size % 3 + 1 AS DOUBLE) AS no
+        |  FROM part
+        |)
+        |SELECT p_partkey,
+        |  round(nh*1.008 + no*15.999, 6) AS molar_mass,
+        |  round((nh*1.008 + no*15.999)/(nh + no), 6) AS mean_mass
+        |FROM f""".stripMargin,
+
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens,
+        |  len(list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> ''))) AS n_distinct
+        |FROM documents""".stripMargin
   )
 }
