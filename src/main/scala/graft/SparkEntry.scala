@@ -228,6 +228,85 @@ object SparkEntry {
       d.select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))
+    }),
+
+    // ---- expression engine + selection ------------------------------------
+    "q20_corr_matrix" -> ((s, dir) => {
+      // single-pass d×d Pearson matrix (graft.search.Corr), long format
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val m = graft.search.Corr.matrix(li(s, dir), cols)
+      val rows = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j), BigDecimal(m(i)(j))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      s.createDataFrame(rows).toDF("xi", "xj", "r")
+    }),
+
+    "q21_cv_ols" -> ((s, dir) => {
+      // one-pass fold-Gram CV of OLS l_extendedprice ~ l_quantity
+      val grams = graft.search.GramCV.fitWithFold(
+        li(s, dir), Seq("l_quantity"), "l_extendedprice",
+        3, pmod(col("l_orderkey"), lit(3)))
+      val total = grams.folds.reduce(_ merge _)
+      val rows = grams.folds.zipWithIndex.map { case (test, f) =>
+        val beta = graft.search.GramCV.solve(total diff test, Seq(0))
+        val r2 = graft.search.GramCV.r2(test, Seq(0), beta)
+        (f.toLong, BigDecimal(r2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      s.createDataFrame(rows.toSeq).toDF("fold", "r2")
+    }),
+
+    "q22_symbolic_eval" -> ((s, dir) => {
+      import graft.expr._
+      val reg = Registry(terminals = Map(
+        "x0" -> (col("l_quantity"), Dim.dless),
+        "x1" -> (col("l_discount"), Dim.dless),
+        "x2" -> (col("l_extendedprice"), Dim.dless),
+        "x3" -> (col("l_tax"), Dim.dless)))
+      val e = Binary("*", Binary("+", Terminal("x0"), Terminal("x1")),
+        Binary("-", Terminal("x2"), Terminal("x3")))
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        round(Compiler.compile(e, reg), 6).as("feat"))
+    }),
+
+    "q23_group_ops" -> ((s, dir) => {
+      // group (array) ops over the embedding column via higher-order fns
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      val head8 = slice(emb, 1, 8)
+      Tables.load(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(aggregate(emb, lit(0.0), _ + _), 4).as("madd"),
+        round(aggregate(head8, lit(0.0), _ + _), 6).as("madd8"),
+        round(sqrt(aggregate(emb, lit(0.0), (a, x) => a + x * x)), 6).as("l2"),
+        round(array_max(emb), 6).as("gmax"),
+        round(array_min(emb), 6).as("gmin"))
+    }),
+
+    // no SQL oracle (driver records rows-only checks) ------------------------
+    "q24_symbolic_search" -> ((s, dir) => {
+      import graft.expr._
+      val d = li(s, dir).select(
+        col("l_quantity").as("x0"), col("l_discount").as("x1"),
+        (col("l_quantity") * col("l_quantity") +
+          lit(5.0) * col("l_discount")).as("y"))
+      val reg = Registry(terminals = Map(
+        "x0" -> (col("x0"), Dim.dless), "x1" -> (col("x1"), Dim.dless)))
+      val res = graft.search.SymbolicSearch.fit(d, reg, col("y"),
+        graft.search.SymbolicSearch.Config(popSize = 30, nGen = 4, maxHeight = 3))
+      s.createDataFrame(res.hall.take(5).map(h =>
+        (h.expr.render, math.rint(h.score * 100) / 100)))
+        .toDF("expr", "score")
+    }),
+
+    "q25_ego_rank" -> ((s, dir) => {
+      val train = li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val model = graft.search.Ego.fitBootstrap(
+        train, Seq("x"), "y", xxhash64(col("l_orderkey"), col("l_linenumber")), b = 8)
+      val space = graft.search.Ego.searchSpace(s,
+        Seq("x" -> (1 to 60).map(_.toDouble)))
+      graft.search.Ego.rank(space, model, yStar = 60000.0)
+        .limit(10).select(col("x"), round(col("ei"), 2).as("ei"))
     })
   )
 
@@ -444,6 +523,74 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens,
         |  len(list_distinct(list_filter(string_split(trim(text), ' '), x -> x <> ''))) AS n_distinct
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q20_corr_matrix" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  sum(l_quantity) AS s0, sum(l_extendedprice) AS s1,
+        |  sum(l_discount) AS s2, sum(l_tax) AS s3,
+        |  sum(l_quantity*l_quantity) AS p00, sum(l_quantity*l_extendedprice) AS p01,
+        |  sum(l_quantity*l_discount) AS p02, sum(l_quantity*l_tax) AS p03,
+        |  sum(l_extendedprice*l_extendedprice) AS p11,
+        |  sum(l_extendedprice*l_discount) AS p12, sum(l_extendedprice*l_tax) AS p13,
+        |  sum(l_discount*l_discount) AS p22, sum(l_discount*l_tax) AS p23,
+        |  sum(l_tax*l_tax) AS p33
+        |FROM lineitem)
+        |SELECT 'l_quantity' AS xi, 'l_extendedprice' AS xj,
+        |  round((p01/n - s0/n*s1/n)/sqrt((p00/n - s0/n*s0/n)*(p11/n - s1/n*s1/n)), 6) AS r FROM s
+        |UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  round((p02/n - s0/n*s2/n)/sqrt((p00/n - s0/n*s0/n)*(p22/n - s2/n*s2/n)), 6) FROM s
+        |UNION ALL SELECT 'l_quantity', 'l_tax',
+        |  round((p03/n - s0/n*s3/n)/sqrt((p00/n - s0/n*s0/n)*(p33/n - s3/n*s3/n)), 6) FROM s
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  round((p12/n - s1/n*s2/n)/sqrt((p11/n - s1/n*s1/n)*(p22/n - s2/n*s2/n)), 6) FROM s
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |  round((p13/n - s1/n*s3/n)/sqrt((p11/n - s1/n*s1/n)*(p33/n - s3/n*s3/n)), 6) FROM s
+        |UNION ALL SELECT 'l_discount', 'l_tax',
+        |  round((p23/n - s2/n*s3/n)/sqrt((p22/n - s2/n*s2/n)*(p33/n - s3/n*s3/n)), 6) FROM s""".stripMargin,
+
+    "q21_cv_ols" ->
+      """WITH f AS (
+        |  SELECT l_orderkey % 3 AS fold, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT fold, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(x*x) AS sxx, sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM f GROUP BY fold
+        |), t AS (
+        |  SELECT sum(n) AS n, sum(sx) AS sx, sum(sxx) AS sxx, sum(sy) AS sy,
+        |    sum(syy) AS syy, sum(sxy) AS sxy FROM s
+        |), tr AS (
+        |  SELECT s.fold, t.n - s.n AS n, t.sx - s.sx AS sx, t.sxx - s.sxx AS sxx,
+        |    t.sy - s.sy AS sy, t.syy - s.syy AS syy, t.sxy - s.sxy AS sxy
+        |  FROM s, t
+        |), beta AS (
+        |  SELECT fold,
+        |    (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1,
+        |    (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS b0
+        |  FROM tr
+        |)
+        |SELECT s.fold,
+        |  round(1 - (s.syy - 2*b.b1*s.sxy - 2*b.b0*s.sy + b.b1*b.b1*s.sxx
+        |             + 2*b.b0*b.b1*s.sx + s.n*b.b0*b.b0)
+        |          / (s.syy - s.sy*s.sy/s.n), 6) AS r2
+        |FROM s JOIN beta b USING (fold)""".stripMargin,
+
+    "q22_symbolic_eval" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_quantity + l_discount) * (l_extendedprice - l_tax), 6) AS feat
+        |FROM lineitem""".stripMargin,
+
+    "q23_group_ops" ->
+      """SELECT vec_id,
+        |  round(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 4) AS madd,
+        |  round(list_reduce(list_prepend(0.0, list_transform(embedding[1:8],
+        |    x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 6) AS madd8,
+        |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE))), (a, x) -> a + x*x)), 6) AS l2,
+        |  round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS gmax,
+        |  round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS gmin
+        |FROM embeddings""".stripMargin
   )
 }

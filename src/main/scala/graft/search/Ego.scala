@@ -1,0 +1,109 @@
+package graft.search
+
+import breeze.linalg.{DenseMatrix, DenseVector, inv}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EGO (efficient global optimization) ranking — the reference's
+  * `featurebox/ego/multiplyego.py` rebuilt for Spark scale.
+  *
+  * - search space: crossJoin of candidate axes (search_space :21-25);
+  * - bootstrap model fits (Fit :89-119): B deterministic hash-weighted
+  *   resamples fitted by ridge-regularized OLS — all B weighted Gram
+  *   matrices accumulate in ONE Spark pass over the training data;
+  * - acquisition (CalculatePi/L/Ei :166-216): per-candidate predictions of
+  *   all B models evaluated as B columns over the (possibly huge) search
+  *   space — probability of improvement × expected gap, fully distributed;
+  * - Rank (:218-225): order by EI desc.
+  */
+object Ego {
+
+  /** Cartesian search space from per-feature candidate axes. */
+  def searchSpace(spark: SparkSession, axes: Seq[(String, Seq[Double])]): DataFrame =
+    axes.foldLeft(spark.range(1).select()) { case (df, (name, vals)) =>
+      df.crossJoin(
+        spark.createDataFrame(vals.map(Tuple1(_))).toDF(name))
+    }
+
+  /** Deterministic Poisson(1)-ish bootstrap weight for (rowKey, b):
+    * P(0)=1/e≈.368, P(1)=.368, P(2+)≈.264 approximated by thirds-ish split
+    * on a 64-bit hash — deterministic at any parallelism.
+    */
+  private def bootWeight(rowKey: Column, b: Int): Column = {
+    val u = pmod(xxhash64(rowKey, lit(b)), lit(1000L)).cast("double") / 1000.0
+    when(u < 0.368, lit(0.0)).when(u < 0.736, lit(1.0)).otherwise(lit(2.0))
+  }
+
+  final case class Model(betas: Array[DenseVector[Double]], features: Seq[String])
+
+  /** Fit B bootstrap linear models in one aggregation pass. */
+  def fitBootstrap(
+      train: DataFrame,
+      features: Seq[String],
+      y: String,
+      rowKey: Column,
+      b: Int = 16,
+      ridge: Double = 1e-8
+  ): Model = {
+    val z = features.map(f => col(f).cast("double")) :+ lit(1.0) :+
+      col(y).cast("double")
+    val p = z.size
+    val aggs = for {
+      bi <- 0 until b
+      i <- 0 until p
+      j <- i until p
+    } yield sum(bootWeight(rowKey, bi) * z(i) * z(j)).as(s"g_${bi}_${i}_$j")
+    val row = train.agg(aggs.head, aggs.tail: _*).head()
+    val betas = (0 until b).map { bi =>
+      val m = DenseMatrix.tabulate(p - 1, p - 1) { (i, j) =>
+        val (a, c) = if (i <= j) (i, j) else (j, i)
+        row.getAs[Double](s"g_${bi}_${a}_$c") +
+          (if (i == j) ridge else 0.0)
+      }
+      val v = DenseVector.tabulate(p - 1)(i =>
+        row.getAs[Double](s"g_${bi}_${math.min(i, p - 1)}_${p - 1}"))
+      inv(m) * v
+    }.toArray
+    Model(betas, features)
+  }
+
+  /** EI ranking over the search space: for each candidate row, evaluate all
+    * B models as columns, then
+    *   mean  = avg_b ŷ_b,  Pi = (#{b: ŷ_b > y*} + 1e-9)/B,
+    *   L = max(0, mean − y*),  EI = L·Pi  (multiplyego.py:166-216).
+    */
+  def rank(space: DataFrame, model: Model, yStar: Double): DataFrame = {
+    val preds = model.betas.zipWithIndex.map { case (beta, bi) =>
+      val terms = model.features.zipWithIndex.map { case (f, i) =>
+        col(f) * lit(beta(i))
+      } :+ lit(beta(model.features.size))
+      terms.reduce(_ + _).as(s"p_$bi")
+    }
+    val withPreds = space.select(space.columns.map(col) ++ preds: _*)
+    val pcols = model.betas.indices.map(bi => col(s"p_$bi"))
+    val arr = array(pcols: _*)
+    val b = model.betas.length
+    val mean = aggregate(arr, lit(0.0), _ + _) / lit(b.toDouble)
+    val pi = aggregate(arr, lit(0.0),
+      (acc, x) => acc + when(x > yStar, 1.0).otherwise(0.0)) / lit(b.toDouble)
+    val ei = greatest(mean - lit(yStar), lit(0.0)) * pi
+    withPreds
+      .withColumn("pred_mean", mean)
+      .withColumn("pi", pi)
+      .withColumn("ei", ei)
+      .drop(model.betas.indices.map(bi => s"p_$bi"): _*)
+      .orderBy(col("ei").desc)
+  }
+
+  /** Pareto front of observed multi-objective points (maximization;
+    * multiplyego.py:121-138). Driver-side: observed set is small.
+    */
+  def paretoFront(points: Array[Array[Double]]): Array[Int] =
+    points.indices.filter { i =>
+      !points.indices.exists { j =>
+        j != i &&
+          points(j).zip(points(i)).forall { case (a, b) => a >= b } &&
+          points(j).zip(points(i)).exists { case (a, b) => a > b }
+      }
+    }.toArray
+}

@@ -1,0 +1,186 @@
+package graft.search
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.expr._
+
+/** GP-evolved symbolic feature search: the reference's `BaseLoop` /
+  * `SymbolLearning` driver (featurebox/symbol/flow.py:294-360,
+  * skflow.py:12-240) rebuilt Spark-first.
+  *
+  * Division of labor (SURVEY §3 EP2): generation, crossover, mutation,
+  * selection and the hall of fame are tiny driver-side object surgery on the
+  * [[FeatureExpr]] ADT; ALL data work for a generation happens in one Spark
+  * pass — the whole population is compiled into N Catalyst columns and
+  * scored by one aggregation (Scoring.scoreBatch), replacing the reference's
+  * joblib batch dispatch (base.py:1390-1420).
+  *
+  * Dimension typechecking (scores.py:280-368) prunes ill-typed candidates
+  * BEFORE the Spark pass — they never cost cluster time.
+  */
+object SymbolicSearch {
+
+  final case class Config(
+      popSize: Int = 60,
+      nGen: Int = 8,
+      maxHeight: Int = 4, // staticLimit (gp.py:243-261)
+      tournament: Int = 3,
+      cxPb: Double = 0.6,
+      mutPb: Double = 0.3,
+      seed: Long = 42L,
+      stopAt: Double = Double.PositiveInfinity, // flow.py stop_condition
+      requireDimless: Boolean = false,
+      plateau: Int = 15
+  )
+
+  final case class Individual(expr: FeatureExpr, score: Double, fit: Scoring.Fit)
+
+  final case class Result(hall: Seq[Individual], generations: Int) {
+    def best: Individual = hall.head
+  }
+
+  private val unaryOps = Vector("neg", "abs", "sqrt", "ln", "pow2")
+  private val binaryOps = Vector("+", "-", "*", "/")
+
+  /** genGrow (gp.py:69-206): probability-weighted random tree. */
+  def grow(rnd: Random, reg: Registry, maxH: Int): FeatureExpr = {
+    val names = reg.names
+    def leaf(): FeatureExpr = Terminal(names(rnd.nextInt(names.size)))
+    def go(h: Int): FeatureExpr =
+      if (h <= 0 || rnd.nextDouble() < 0.3) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => Unary(unaryOps(rnd.nextInt(unaryOps.size)), go(h - 1))
+        case _ => Binary(binaryOps(rnd.nextInt(binaryOps.size)), go(h - 1), go(h - 1))
+      }
+    go(maxH)
+  }
+
+  // --- subtree surgery (cxOnePoint gp.py:212-235, mutUniform :269-443) ----
+
+  private def nodes(e: FeatureExpr): Int = e.size
+
+  private def subtreeAt(e: FeatureExpr, idx: Int): FeatureExpr = {
+    var i = -1
+    var found: FeatureExpr = e
+    def go(n: FeatureExpr): Unit = {
+      i += 1
+      if (i == idx) found = n
+      else n match {
+        case Unary(_, c)       => go(c)
+        case Binary(_, l, r)   => go(l); go(r)
+        case GroupReduce(_, c) => go(c)
+        case GroupMap(_, c)    => go(c)
+        case _                 =>
+      }
+    }
+    go(e)
+    found
+  }
+
+  private def replaceAt(e: FeatureExpr, idx: Int, rep: FeatureExpr): FeatureExpr = {
+    var i = -1
+    def go(n: FeatureExpr): FeatureExpr = {
+      i += 1
+      if (i == idx) rep
+      else n match {
+        case Unary(op, c)       => Unary(op, go(c))
+        case Binary(op, l, r)   => val nl = go(l); Binary(op, nl, go(r))
+        case GroupReduce(op, c) => GroupReduce(op, go(c))
+        case GroupMap(op, c)    => GroupMap(op, go(c))
+        case leafNode           => leafNode
+      }
+    }
+    go(e)
+  }
+
+  def crossover(rnd: Random, a: FeatureExpr, b: FeatureExpr): (FeatureExpr, FeatureExpr) = {
+    val ia = rnd.nextInt(nodes(a)); val ib = rnd.nextInt(nodes(b))
+    val sa = subtreeAt(a, ia); val sb = subtreeAt(b, ib)
+    (replaceAt(a, ia, sb), replaceAt(b, ib, sa))
+  }
+
+  def mutate(rnd: Random, reg: Registry, e: FeatureExpr, maxH: Int): FeatureExpr = {
+    val i = rnd.nextInt(nodes(e))
+    replaceAt(e, i, grow(rnd, reg, math.max(1, maxH - 2)))
+  }
+
+  /** staticLimit: reject offspring exceeding the height bound — revert to
+    * parent (gp.py:243-261).
+    */
+  private def limited(child: FeatureExpr, parent: FeatureExpr, maxH: Int): FeatureExpr =
+    if (child.height > maxH) parent else child
+
+  def fit(df: DataFrame, reg: Registry, y: Column, cfg: Config = Config()): Result = {
+    val rnd = new Random(cfg.seed)
+    val cached = df.persist()
+    try {
+      var pop = Vector.fill(cfg.popSize)(grow(rnd, reg, cfg.maxHeight))
+      var hall = Vector.empty[Individual]
+      var gen = 0
+      var stop = false
+      val recent = scala.collection.mutable.Queue.empty[Double]
+      while (gen < cfg.nGen && !stop) {
+        gen += 1
+        // dim typecheck prunes before any Spark work
+        val typed = pop.map { e =>
+          val d = Compiler.dimOf(e, reg)
+          val ok = !d.isNan && (!cfg.requireDimless || d.isDless)
+          (e, ok)
+        }
+        val named = typed.zipWithIndex.collect {
+          case ((e, true), i) => (s"c_$i", e)
+        }
+        val compiled = named.map { case (n, e) => n -> Compiler.compile(e, reg) }
+        val scores: Map[String, Scoring.Fit] =
+          if (compiled.isEmpty) Map.empty
+          else Scoring.scoreBatch(cached, y, compiled)
+        val scored = typed.zipWithIndex.map { case ((e, ok), i) =>
+          if (!ok) Individual(e, Scoring.worst, Scoring.Fit(0, 0, Scoring.worst, Scoring.worst, 0))
+          else {
+            val f = scores(s"c_$i")
+            Individual(e, f.r2, f)
+          }
+        }
+        hall = (hall ++ scored).sortBy(-_.score).take(10)
+          .foldLeft(Vector.empty[Individual])((acc, ind) =>
+            if (acc.exists(_.expr == ind.expr)) acc else acc :+ ind)
+        if (hall.head.score >= cfg.stopAt) stop = true
+        recent.enqueue(hall.head.score)
+        if (recent.size > cfg.plateau) {
+          recent.dequeue()
+          if (recent.head == recent.last) stop = true
+        }
+        if (!stop && gen < cfg.nGen) {
+          // tournament selection
+          val selected = Vector.fill(cfg.popSize) {
+            val contenders = Vector.fill(cfg.tournament)(rnd.nextInt(cfg.popSize))
+            contenders.maxBy(scored(_).score)
+          }.map(pop)
+          // varAnd (gp.py:674-689): crossover then mutation, height-limited
+          val crossed = selected.grouped(2).flatMap {
+            case Vector(a, b) if rnd.nextDouble() < cfg.cxPb =>
+              val (c1, c2) = crossover(rnd, a, b)
+              Vector(limited(c1, a, cfg.maxHeight), limited(c2, b, cfg.maxHeight))
+            case v => v
+          }.toVector
+          pop = crossed.map { ind =>
+            if (rnd.nextDouble() < cfg.mutPb)
+              limited(mutate(rnd, reg, ind, cfg.maxHeight), ind, cfg.maxHeight)
+            else ind
+          }
+          // elitism: keep the best seen
+          pop = pop.updated(0, hall.head.expr)
+        }
+      }
+      Result(hall, gen)
+    } finally { cached.unpersist() }
+  }
+
+  /** Predict with a fitted individual: A·f + B as a Column. */
+  def predictCol(ind: Individual, reg: Registry): Column = {
+    import org.apache.spark.sql.functions.lit
+    Compiler.compile(ind.expr, reg) * lit(ind.fit.a) + lit(ind.fit.b)
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.expr._
+import graft.search.{BackForward, Corr, Ego, Exhaustion, GaSelect, GramCV, SymbolicSearch}
+
+class ExprSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val reg = Registry(terminals = Map(
+    "x0" -> (col("x0"), Dim.of(0 -> 1.0)), // e.g. length
+    "x1" -> (col("x1"), Dim.of(0 -> 1.0)),
+    "x2" -> (col("x2"), Dim.of(1 -> 1.0)), // e.g. mass
+    "x3" -> (col("x3"), Dim.dless)
+  ))
+
+  test("dim algebra: reference truth table (test_dim.py style)") {
+    val L = Dim.of(0 -> 1.0); val M = Dim.of(1 -> 1.0)
+    assert(L + L == L)
+    assert((L + M).isNan)
+    assert(L * M == Dim(Vector(1, 1, 0, 0, 0, 0, 0)))
+    assert(L / L == Dim.dless)
+    assert(L.pow(2.0) == Dim(Vector(2, 0, 0, 0, 0, 0, 0)))
+    assert(L.transcendental.isNan)
+    assert(Dim.dless.transcendental == Dim.dless)
+    assert((DNan * L).isNan && (DNan + L).isNan)
+  }
+
+  test("compiler: expression evaluates exactly; dim typecheck prunes") {
+    val df = Seq((1.0, 2.0, 3.0, 4.0), (5.0, 6.0, 7.0, 8.0))
+      .toDF("x0", "x1", "x2", "x3")
+    // (x0+x1)*(x2-x3) — the reference's height_2.py target expression
+    val e = Binary("*", Binary("+", Terminal("x0"), Terminal("x1")),
+      Binary("-", Terminal("x2"), Terminal("x3")))
+    val got = df.select(Compiler.compile(e, reg).as("v")).as[Double]
+      .collect().sorted
+    assert(got.sameElements(
+      Array((1.0 + 2.0) * (3.0 - 4.0), (5.0 + 6.0) * (7.0 - 8.0)).sorted))
+    // dim: (L+L)*(M−dless) → NaN (M-dless illegal)
+    assert(Compiler.dimOf(e, reg).isNan)
+    val ok = Binary("/", Binary("+", Terminal("x0"), Terminal("x1")), Terminal("x0"))
+    assert(Compiler.dimOf(ok, reg) == Dim.dless)
+    // ln of dimensioned input is ill-typed; ln of dimensionless is fine
+    assert(Compiler.dimOf(Unary("ln", Terminal("x2")), reg).isNan)
+    assert(Compiler.dimOf(Unary("ln", Terminal("x3")), reg) == Dim.dless)
+  }
+
+  test("render + height + staticLimit guard") {
+    val e = Binary("+", Unary("pow2", Terminal("x0")), ConstE(2.0))
+    assert(e.render == "(pow2(x0) + 2)")
+    assert(e.height == 2 && e.size == 4)
+    val deep = (1 to 100).foldLeft[FeatureExpr](Terminal("x0"))((a, _) =>
+      Unary("neg", a))
+    intercept[IllegalArgumentException](Compiler.compile(deep, reg))
+  }
+
+  test("scoreBatch: exact r2 for linear relation, error containment for bad exprs") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3.0)).toDF("x", "y")
+    val scores = Scoring.scoreBatch(df, col("y"), Seq(
+      "lin" -> col("x"), // y = 2x+3 exactly
+      "bad" -> try_divide(lit(1.0), col("x") - col("x")), // div by zero -> null rows
+      "lnneg" -> log(negate(col("x"))) // NaN rows
+    ))
+    assert(approx(scores("lin").r2, 1.0))
+    assert(approx(scores("lin").a, 2.0) && approx(scores("lin").b, 3.0))
+    assert(scores("bad").r2 == Scoring.worst)
+    assert(scores("lnneg").r2 == Scoring.worst)
+  }
+
+  test("GramCV: fold grams reproduce OLS CV r2 computed by hand") {
+    val rnd = new Random(7)
+    val rows = (1 to 200).map { i =>
+      val x0 = rnd.nextDouble() * 10; val x1 = rnd.nextDouble() * 5
+      val noise = rnd.nextGaussian() * 0.01
+      (i.toLong, x0, x1, 3.0 * x0 - 2.0 * x1 + 1.0 + noise)
+    }
+    val df = rows.toDF("id", "x0", "x1", "y")
+    val grams = GramCV.fit(df, Seq("x0", "x1"), "y", 3, Seq(col("id")))
+    val full = grams.cvR2(Seq(0, 1))
+    assert(full > 0.999, s"cv r2 $full")
+    val beta = grams.coefficients(Seq(0, 1))
+    assert(approx(beta(0), 3.0, 1e-2) && approx(beta(1), -2.0, 1e-2))
+    // single feature fits worse
+    assert(grams.cvR2(Seq(0)) < full)
+    // exhaustion ranks the full subset first among size-2 subsets
+    val ranked = Exhaustion.search(grams, Seq(1, 2))
+    assert(ranked.head.subset == Seq(0, 1))
+  }
+
+  test("selection suite: corr filter, backforward, GA find the signal") {
+    val rnd = new Random(11)
+    val rows = (1 to 300).map { i =>
+      val x0 = rnd.nextDouble()
+      val x1 = x0 * 0.999 + rnd.nextGaussian() * 1e-4 // near-duplicate of x0
+      val x2 = rnd.nextDouble()
+      val noise = rnd.nextGaussian() * 0.001
+      (i.toLong, x0, x1, x2, 5.0 * x0 + 2.0 * x2 + noise)
+    }
+    val df = rows.toDF("id", "x0", "x1", "x2", "y")
+    val m = Corr.matrix(df, Seq("x0", "x1", "x2"))
+    assert(m(0)(0) == 1.0 || approx(m(0)(0), 1.0))
+    assert(m(0)(1) > 0.99) // the planted near-duplicate
+    assert(math.abs(m(0)(2)) < 0.3)
+    val kept = Corr.removeCoef(m, 0.95)
+    assert(kept.contains(2) && kept.size == 2) // one of {x0,x1} dropped
+    val grams = GramCV.fit(df, Seq("x0", "x1", "x2"), "y", 3, Seq(col("id")))
+    val (bfSubset, bfScore) = BackForward.search(grams)
+    assert(bfScore > 0.999 && bfSubset.contains(2))
+    val (gaSubset, gaScore) = GaSelect.search(grams,
+      GaSelect.Config(popSize = 20, nGen = 10))
+    assert(gaScore > 0.999 && gaSubset.contains(2))
+  }
+
+  test("symbolic search recovers a planted expression family") {
+    val rnd = new Random(3)
+    val rows = (1 to 200).map { i =>
+      val x0 = 1.0 + rnd.nextDouble(); val x1 = 1.0 + rnd.nextDouble()
+      (x0, x1, x0 * x1) // target: y = x0*x1
+    }
+    val df = rows.toDF("x0", "x1", "y")
+    val r = Registry(terminals = Map(
+      "x0" -> (col("x0"), Dim.dless), "x1" -> (col("x1"), Dim.dless)))
+    val res = SymbolicSearch.fit(df, r, col("y"),
+      SymbolicSearch.Config(popSize = 40, nGen = 6, maxHeight = 3, seed = 5))
+    assert(res.best.score > 0.999, s"best=${res.best.expr.render} ${res.best.score}")
+  }
+
+  test("EGO: bootstrap EI ranking prefers the known-better region") {
+    val rnd = new Random(13)
+    val train = (1 to 150).map { i =>
+      val x = rnd.nextDouble() * 10
+      (i.toLong, x, 2.0 * x + rnd.nextGaussian() * 0.1)
+    }.toDF("id", "x", "y")
+    val model = Ego.fitBootstrap(train, Seq("x"), "y", col("id"), b = 8)
+    val space = Ego.searchSpace(spark, Seq("x" -> (0 to 20).map(_.toDouble)))
+    val ranked = Ego.rank(space, model, yStar = 20.0).collect()
+    // best EI should be at the largest x (predicted y ≈ 2x > y* only there)
+    assert(ranked.head.getAs[Double]("x") >= 19.0)
+    // pareto front of a simple 2-objective set
+    val front = Ego.paretoFront(Array(
+      Array(1.0, 5.0), Array(2.0, 4.0), Array(0.5, 0.5), Array(3.0, 1.0)))
+    assert(front.toSet == Set(0, 1, 3))
+  }
+}
