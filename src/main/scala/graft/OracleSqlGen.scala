@@ -1,0 +1,82 @@
+package graft
+
+/** DuckDB-SQL generators mirroring graft.text.TextHash / graft.ann.Ann
+  * arithmetic EXACTLY (same fold order, same mod-2^32 polynomial hashes,
+  * same LCG hyperplanes) so the approximate dedup/ANN operators are
+  * verifiable cross-engine, not just rows-counted.
+  */
+object OracleSqlGen {
+  val M = "4294967296" // 2^32
+
+  /** polyHash(e): left fold (acc*31 + codepoint) mod 2^32; empty -> 0. */
+  def poly(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($e)+1), i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))), " +
+      s"(a, c) -> (a*31 + c) % $M)"
+
+  /** Whitespace tokens, empties dropped. */
+  def toks(e: String): String =
+    s"list_filter(string_split(trim($e), ' '), t -> t <> '')"
+
+  /** Distinct shingle hashes of char n-grams. */
+  def shingleHashes(e: String, n: Int): String =
+    s"list_distinct(list_transform(" +
+      s"list_distinct(list_transform(range(1, greatest(len($e)-${n - 2}, 1)), i -> substr($e, i, $n))), " +
+      s"g -> ${poly("g")}))"
+
+  def jaccard(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
+
+  /** minhash slot i over a shingle-hash list column. */
+  def minhashSlot(sh: String, i: Int): String = {
+    val a = 2L * i + 1; val b = 97L * i + 13
+    s"list_min(list_transform($sh, h -> (h*$a + $b) % $M))"
+  }
+
+  /** band key b from slot expressions (rowsPerBand consecutive slots). */
+  def bandKey(slots: Seq[String], b: Int): String = {
+    val init = (b.toLong * 1315423911L) % (1L << 32)
+    slots.foldLeft(s"CAST($init AS BIGINT)")((acc, s) => s"(($acc)*131 + $s) % $M")
+  }
+
+  /** 16-bit simhash over token-hash list column `th`. */
+  def simhash(th: String, bits: Int = 16): String = {
+    val terms = (0 until bits).map { b =>
+      val s = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($th, h -> CASE WHEN (h >> $b) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, x) -> a + x)"
+      s"CASE WHEN ($s) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** dot product of two 64-dim double lists, left-fold order. */
+  def dot(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  def cosine(a: String, b: String, dim: Int = 64): String =
+    s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
+
+  /** LCG hyperplane component for plane p, 0-based dim expr `d`. */
+  def planeComponent(p: Int, d: String): String =
+    s"(CAST(((${p}*64 + $d)*1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+
+  /** sign-bucket key of a double-list column `v` with `planes` hyperplanes. */
+  def signBucket(v: String, planes: Int, dim: Int = 64): String = {
+    val terms = (0 until planes).map { p =>
+      val dp = s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+        s"i -> $v[i] * ${planeComponent(p, "(i-1)")})), (acc, x) -> acc + x)"
+      s"CASE WHEN ($dp) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** per-language stopword ratio over lowercased tokens. */
+  def stopwordRatio(textExpr: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    val t = toks(s"lower($textExpr)")
+    s"(CAST(len(list_filter($t, x -> list_contains($lst, x))) AS DOUBLE) / " +
+      s"CAST(greatest(len($t), 1) AS DOUBLE))"
+  }
+}

@@ -298,6 +298,80 @@ object SparkEntry {
         .toDF("expr", "score")
     }),
 
+    // ---- training-data pipeline ops ---------------------------------------
+    "q26_exact_dedup" -> ((s, dir) => {
+      graft.text.Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "q27_ngram_jaccard" -> ((s, dir) => {
+      graft.text.Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        blockKey = col("lang"), shingleN = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q28_simhash" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextHash.simhash(col("text"), 16).as("simhash"))
+    }),
+
+    "q29_minhash_pairs" -> ((s, dir) => {
+      graft.text.Dedup.minhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4, threshold = 0.7, blockCap = 64)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q30_brute_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      graft.ann.Ann.bruteTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec")),
+        e.select(col("vec_id").as("cid"), col("vec")), k = 3)
+    }),
+
+    "q31_langid" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextQuality.langId(col("text")).as("lang_pred"))
+    }),
+
+    "q32_quality" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val qc = graft.text.TextQuality.qualityColumns(col("text")).toMap
+      d.select(col("doc_id"),
+        qc("q_chars").as("q_chars"), qc("q_tokens").as("q_tokens"),
+        round(qc("q_mean_tok_len"), 6).as("q_mean_tok_len"),
+        round(qc("q_stopword_ratio"), 6).as("q_stopword_ratio"),
+        round(qc("q_alpha_ratio"), 6).as("q_alpha_ratio"),
+        round(qc("q_repetition"), 6).as("q_repetition"),
+        graft.text.TextQuality.qualityScore(col("text")).as("q_score"),
+        graft.text.TextQuality.subwordCount(col("text")).as("q_subwords"))
+    }),
+
+    "q33_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextHash.fingerprint(col("text")).as("fp"))
+    }),
+
+    "q34_embed_neardup" -> ((s, dir) => {
+      graft.text.Dedup.embeddingPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        planes = 4, threshold = 0.3, blockCap = 100000)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q35_multimodal" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val assets = Multimodal
+        .assetsFromText(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.Asset]
+      Multimodal.extractFeatures(assets).toDF().select(
+        col("asset_id"), col("media_type"), col("n_bytes"), col("checksum"),
+        round(element_at(col("feature"), 1), 6).as("f0"),
+        round(element_at(col("feature"), 4), 6).as("f3"))
+    }),
+
     "q25_ego_rank" -> ((s, dir) => {
       val train = li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
@@ -591,6 +665,129 @@ object SparkEntry {
         |    x -> CAST(x AS DOUBLE))), (a, x) -> a + x*x)), 6) AS l2,
         |  round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS gmax,
         |  round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS gmin
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "q26_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q27_ngram_jaccard" -> {
+      val sh = OracleSqlGen.shingleHashes("text", 3)
+      s"""WITH s AS (SELECT doc_id, lang, $sh AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(${OracleSqlGen.jaccard("a.sh", "b.sh")}, 6) AS jaccard
+         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE ${OracleSqlGen.jaccard("a.sh", "b.sh")} >= 0.7""".stripMargin
+    },
+
+    "q28_simhash" -> {
+      val th = s"list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})"
+      s"""WITH t AS (SELECT doc_id, $th AS th FROM documents)
+         |SELECT doc_id, ${OracleSqlGen.simhash("th")} AS simhash FROM t""".stripMargin
+    },
+
+    "q29_minhash_pairs" -> {
+      val sh = OracleSqlGen.shingleHashes("text", 3)
+      val slots = (0 until 8).map(i => s"${OracleSqlGen.minhashSlot("sh", i)} AS s$i")
+      val bkeys = (0 until 4).map(b =>
+        OracleSqlGen.bandKey(Seq(s"s${2 * b}", s"s${2 * b + 1}"), b))
+      s"""WITH sh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+         |sh1 AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, ${slots.mkString(", ")} FROM sh1),
+         |bk AS (SELECT doc_id, sh, unnest([${bkeys.mkString(", ")}]) AS bkey FROM sig),
+         |capped AS (SELECT * FROM bk QUALIFY count(*) OVER (PARTITION BY bkey) <= 64),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${OracleSqlGen.jaccard("a.sh", "b.sh")} AS jaccard
+         |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM pairs WHERE jaccard >= 0.7""".stripMargin
+    },
+
+    "q30_brute_topk" -> {
+      val cos = OracleSqlGen.cosine("q.v", "c.v")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, round($cos, 6) AS cos
+         |      FROM e q, e c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |SELECT qid, cid, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM p)
+         |WHERE rank <= 3""".stripMargin
+    },
+
+    "q31_langid" -> {
+      val packs = graft.text.TextQuality.stopwords.keys.toSeq.sorted.map { l =>
+        val r = OracleSqlGen.stopwordRatio("text", graft.text.TextQuality.stopwords(l))
+        s"struct_pack(s := $r, l := '$l')"
+      }
+      s"""WITH g AS (SELECT doc_id,
+         |  list_sort([${packs.mkString(", ")}])[${packs.size}] AS b FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN b.s <= 0.0 THEN 'und' ELSE b.l END AS lang_pred FROM g""".stripMargin
+    },
+
+    "q32_quality" -> {
+      val t = OracleSqlGen.toks("text")
+      val n = s"CAST(greatest(len($t), 1) AS DOUBLE)"
+      val sumLen = s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($t, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)"
+      val sw = OracleSqlGen.stopwordRatio("text",
+        graft.text.TextQuality.stopwords("en"))
+      val alpha = s"(CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / " +
+        s"CAST(greatest(len(text), 1) AS DOUBLE))"
+      val rep = s"(1.0 - CAST(len(list_distinct($t)) AS DOUBLE) / $n)"
+      val subw = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($t, x -> CAST(ceil(CAST(len(x) AS DOUBLE) / 4.0) AS BIGINT))), (a, x) -> a + x)"
+      val score = s"round(least(CAST(len($t) AS DOUBLE) / 100.0, 1.0) * 0.4 + " +
+        s"least($sw * 4.0, 1.0) * 0.3 + greatest(1.0 - $rep * 2.0, 0.0) * 0.3, 6)"
+      s"""SELECT doc_id,
+         |  CAST(len(text) AS BIGINT) AS q_chars,
+         |  CAST(len($t) AS BIGINT) AS q_tokens,
+         |  round($sumLen / $n, 6) AS q_mean_tok_len,
+         |  round($sw, 6) AS q_stopword_ratio,
+         |  round($alpha, 6) AS q_alpha_ratio,
+         |  round($rep, 6) AS q_repetition,
+         |  $score AS q_score,
+         |  $subw AS q_subwords
+         |FROM documents""".stripMargin
+    },
+
+    "q33_fingerprint" -> {
+      val th = s"list_sort(list_distinct(list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})))"
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), $th),
+         |    (a, h) -> (a*131 + h) % ${OracleSqlGen.M}) AS fp
+         |FROM documents""".stripMargin
+    },
+
+    "q34_embed_neardup" -> {
+      val cos = OracleSqlGen.cosine("a.v", "b.v")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, ${OracleSqlGen.signBucket("v", 4)} AS bkey FROM e),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+         |  FROM bkt a JOIN bkt b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM pairs WHERE cosine >= 0.3""".stripMargin
+    },
+
+    "q35_multimodal" -> {
+      val bytes = "list_transform(range(1, len(text)+1), i -> ascii(substr(text, i, 1)))"
+      def f(j: Int) =
+        s"round(CAST(len(list_filter($bytes, b -> b % 8 = $j)) AS DOUBLE) / " +
+          s"CAST(greatest(len(text), 1) AS DOUBLE), 6)"
+      s"""SELECT doc_id AS asset_id,
+         |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+         |  CAST(len(text) AS BIGINT) AS n_bytes,
+         |  ${OracleSqlGen.poly("text")} AS checksum,
+         |  ${f(0)} AS f0,
+         |  ${f(3)} AS f3
+         |FROM documents""".stripMargin
+    }
   )
 }

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-batched typed pipelines.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container): [[FakeDecoder]] is a clearly-marked deterministic stand-in
+  * that consumes real bytes and emits a fixed-shape feature vector, so the
+  * Spark-side plumbing — schema, binary handling, partition batching,
+  * output shape — is real and tested; swap `decode` for a JNI/lib call in
+  * production.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)
+  ))
+
+  final case class Asset(
+      asset_id: Long, media_type: String, payload: Array[Byte],
+      width: Option[Int], height: Option[Int], duration_ms: Option[Long])
+
+  final case class AssetFeature(
+      asset_id: Long, media_type: String, n_bytes: Long,
+      checksum: Long, feature: Array[Double])
+
+  /** STUB decoder: deterministic feature extraction from raw bytes.
+    * Replace `decode` with the real library call; everything around it
+    * (batching, schema, null policy) stays.
+    */
+  object FakeDecoder {
+    val featureDim = 8
+    def decode(payload: Array[Byte]): Array[Double] = {
+      // ??? real decode goes here; deterministic fake: byte histogram moments
+      val f = new Array[Double](featureDim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          val b = payload(i) & 0xff
+          f(b % featureDim) += 1.0
+          i += 1
+        }
+        val n = math.max(payload.length, 1).toDouble
+        var j = 0
+        while (j < featureDim) { f(j) = f(j) / n; j += 1 }
+      }
+      f
+    }
+    def checksum(payload: Array[Byte]): Long = {
+      var h = 0L
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
+      }
+      h
+    }
+  }
+
+  /** Partition-batched feature extraction: the Scala analog of a
+    * `mapInPandas` batch UDF — one decoder instance per partition, streaming
+    * over rows (constant memory), typed output schema.
+    */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition init (model/codec load) happens once, here
+      it.map { a =>
+        AssetFeature(
+          a.asset_id, a.media_type,
+          if (a.payload == null) 0L else a.payload.length.toLong,
+          FakeDecoder.checksum(a.payload),
+          FakeDecoder.decode(a.payload))
+      }
+    }
+  }
+
+  /** Frame sampling stub for video: pick every `stride`-th chunk boundary of
+    * the payload as a "frame" offset — real frame extraction would use the
+    * container index; the partitioning/limit shape is what matters here.
+    */
+  def sampleFrameOffsets(payloadLen: org.apache.spark.sql.Column, stride: Int,
+      maxFrames: Int): org.apache.spark.sql.Column =
+    slice(sequence(lit(0L), greatest(payloadLen - 1, lit(0L)), lit(stride.toLong)),
+      1, maxFrames)
+
+  /** Build a deterministic asset table from any text table (dev/test input:
+    * the text bytes ARE the payload — real pipelines read binary files).
+    */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-reproducible text hashing primitives.
+  *
+  * Everything here is plain integer arithmetic on code points, chosen so the
+  * EXACT same values are computable in ANSI SQL (the DuckDB oracle): no
+  * engine-private hash functions in any operator whose output must be
+  * verified cross-engine. All mods keep intermediates < 2^45 — ANSI-safe.
+  */
+object TextHash {
+
+  val M: Long = 1L << 32
+
+  /** Polynomial rolling hash of a string: left fold of h*31 + codepoint
+    * (mod 2^32) — fully codegen'd, identical fold order in SQL
+    * `list_reduce`. Empty string hashes to 0.
+    */
+  def polyHash(s: Column): Column =
+    when(length(s) === 0 || s.isNull, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(s)),
+        lit(0L),
+        (acc, i) => pmod(acc * 31L + ascii(s.substr(i, lit(1))).cast("long"), lit(M))
+      ))
+
+  /** Character n-gram (shingle) array, distinct. */
+  def shingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n))
+        )
+      ))
+
+  /** Distinct shingle hashes (the set representation used by minhash &
+    * jaccard) — hash each n-gram with the cross-engine polynomial hash.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), polyHash _))
+
+  /** Jaccard similarity of two precomputed distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Whitespace tokens (trim + single-space split, empties dropped) —
+    * matches `list_filter(string_split(trim(x),' '), ...)` in the oracle.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** MinHash signature: H values, sig_i = min over shingle hashes h of
+    * (a_i·h + b_i) mod 2^32, with a_i = 2i+1 (odd), b_i = 97·i+13.
+    * Same formula generates the oracle SQL.
+    */
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      val a = 2L * i + 1; val b = 97L * i + 13
+      array_min(transform(shingleHashes, h => pmod(h * a + b, lit(M))))
+    }: _*)
+
+  /** LSH band keys from a signature: `bands` buckets of `rowsPerBand`
+    * signature slots, each band key = fold of its slots (mod 2^32), tagged
+    * with the band index so different bands never collide.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+      val folded = slots.foldLeft(lit(b.toLong * 1315423911L % M))((acc, s) =>
+        pmod(acc * 131L + s, lit(M)))
+      folded
+    }: _*)
+
+  /** SimHash over whitespace tokens with `bits`-bit token hashes:
+    * bit b of the simhash is 1 iff Σ_tokens (±1 by token-hash bit b) > 0.
+    */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val toks = tokens(text)
+    val hashes = transform(toks, polyHash _)
+    val bitSums = (0 until bits).map { b =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(pmod(shiftright(h, b), lit(2L)) === 1L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Document fingerprint: rolling hash over the SORTED DISTINCT token
+    * hashes — invariant to token order and repetition (the classic
+    * "fingerprint" canopy key for fuzzy dedup).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      array_sort(array_distinct(transform(tokens(text), polyHash _))),
+      lit(0L),
+      (acc, h) => pmod(acc * 131L + h, lit(M))
+    )
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID (stopword n-gram
+  * heuristic), quality scoring, token counting. All pure Column expressions
+  * (codegen'd, no UDFs) with cross-engine-expressible arithmetic.
+  */
+object TextQuality {
+
+  /** Tiny per-language stopword lists for the heuristic scorer. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "with", "on"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "est", "pour", "avec"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "ist", "mit", "auf")
+  )
+
+  private def toks(text: Column) = TextHash.tokens(lower(text))
+
+  /** Per-language stopword hit ratio: |tokens ∩ stopwords| / |tokens|. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    val t = toks(text)
+    size(filter(t, x => array_contains(sw, x))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Language ID: argmax of stopword ratios, "und" when all zero.
+    * Deterministic tie-break: language name ascending.
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordRatio(text, l).as("s"),
+      lit(l).as("l")))
+    val best = scored.reduce((a, b) => when(b > a, b).otherwise(a))
+    when(best.getField("s") <= 0.0, lit("und")).otherwise(best.getField("l"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(toks(text)).cast("long")
+
+  /** BPE-ish subword count estimate: ceil(codepoints/4) per token, summed —
+    * the standard chars/4 heuristic, computed exactly.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(toks(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Quality descriptor pack:
+    *  - n_chars, n_tokens
+    *  - mean token length
+    *  - stopword ratio (english)
+    *  - alpha ratio: fraction of alphabetic chars
+    *  - repetition: 1 − distinct/total tokens
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val t = toks(text)
+    val n = greatest(size(t), lit(1)).cast("double")
+    Seq(
+      "q_chars" -> length(text).cast("long"),
+      "q_tokens" -> size(t).cast("long"),
+      "q_mean_tok_len" -> (aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / n),
+      "q_stopword_ratio" -> stopwordRatio(text, "en"),
+      "q_alpha_ratio" -> (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")),
+      "q_repetition" -> (lit(1.0) - size(array_distinct(t)).cast("double") / n)
+    )
+  }
+
+  /** Composite quality score in [0,1]: weighted blend mirroring the usual
+    * length/stopword/repetition gates.
+    */
+  def qualityScore(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lenScore = least(cols("q_tokens").cast("double") / 100.0, lit(1.0))
+    val swScore = least(cols("q_stopword_ratio") * 4.0, lit(1.0))
+    val repScore = greatest(lit(1.0) - cols("q_repetition") * 2.0, lit(0.0))
+    round(lenScore * 0.4 + swScore * 0.3 + repScore * 0.3, 6)
+  }
+}
