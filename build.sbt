@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Optional GC diagnostics for bench runs: set SPARK_GRAFT_GCLOG=1
+javaOptions ++= (if (sys.env.contains("SPARK_GRAFT_GCLOG"))
+  Seq("-Xlog:gc*:file=/tmp/gc.log:time,uptime") else Seq.empty)

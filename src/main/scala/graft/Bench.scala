@@ -1,24 +1,46 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: per-query wall times over SPARK_GRAFT_SF_DIR plus the
+  * flagship as-of+window transcript pipeline (turns/sec — the north-rule
+  * headline metric). Prints ONE JSON line.
+  */
 object Bench {
+
+  /** Force full execution: count() can elide projections, so route rows
+    * through the noop sink instead.
+    */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/target/bench")
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "80000").toLong
+    val spark = graft.core.GraftSession.local(cpus)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case t: Throwable => System.err.println(s"[bench] $name: ${t.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // flagship transcript pipeline (input synthesized once, reused)
+    val (tPath, sPath) = graft.run.Flagship.ensureData(spark, benchBase, nConvs)
+    val (rows, ms, tps) = graft.run.Flagship.run(
+      spark, tPath, sPath, s"$benchBase/out_cpus$cpus", nBuckets = 32)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"flagship asof+window turns/sec","value":${tps.toLong},""" +
+        s""""unit":"turns/sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""flagship_rows":$rows,"flagship_sec":${ms / 1000.0},""" +
+        s""""query_total_sec":${f"$total%.2f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

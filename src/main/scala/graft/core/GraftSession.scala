@@ -18,13 +18,22 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default 64m advisory under-parallelizes CPU-bound stages whenever
+      // total shuffle bytes < 64m × cores (true for any local run and for
+      // the tail stages of big jobs); 8m keeps every core busy while still
+      // coalescing pathological tiny-partition fan-outs at scale
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  /** Local session sized from an env-provided cpu count (driver contract). */
+  /** Local session sized from an env-provided cpu count (driver contract).
+    * Shuffle partitions = 4× cores: keeps per-task sort buffers small
+    * enough for the default heap and leaves AQE room to coalesce; the same
+    * ratio is what you'd run fleet-wide (partitions ≈ 2-4× total cores).
+    */
   def local(cpus: Int): SparkSession = {
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    val s = builder(s"local[$cpus]", 4 * cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -41,6 +41,14 @@ object AsOf {
     * @param rightTs   timestamp column on `right`
     * @param tiebreak  ordering column on `right` for identical timestamps
     * @param payload   right columns to carry; emitted under the same names
+    * @param leftTie   optional ordering column on `left` used as its tie
+    *                  value (e.g. turn_idx); purely an output-order refinement
+    *                  — join semantics don't depend on it because __side
+    *                  already orders right-before-left at equal ts
+    * @param keepOrder keep the internal __ts/__side/__tie columns so
+    *                  downstream window operators can order by EXACTLY the
+    *                  same keys and Catalyst elides their sort (one sort for
+    *                  the whole point-in-time pipeline)
     */
   def asofJoin(
       left: DataFrame,
@@ -49,7 +57,9 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       tiebreak: String,
-      payload: Seq[String]
+      payload: Seq[String],
+      leftTie: Option[String] = None,
+      keepOrder: Boolean = false
   ): DataFrame = {
     val leftCols = left.columns
     val payloadStruct = struct(payload.map(col): _*)
@@ -57,7 +67,8 @@ object AsOf {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // left AFTER right at equal ts => inclusive
-      .withColumn("__tie", lit(Int.MaxValue))
+      .withColumn("__tie",
+        leftTie.map(c => col(c).cast("int")).getOrElse(lit(Int.MaxValue)))
       .withColumn("__payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
 
@@ -87,8 +98,16 @@ object AsOf {
     val out = payload.foldLeft(filled) { (df, p) =>
       df.withColumn(p, col("__snap").getField(p))
     }
-    out.select(leftCols.map(col) ++ payload.map(col): _*)
+    val keep =
+      if (keepOrder) Seq("__ts", "__side", "__tie").map(col) else Nil
+    out.select(leftCols.map(col) ++ payload.map(col) ++ keep: _*)
   }
+
+  /** The ordering columns emitted under `keepOrder = true`; window operators
+    * downstream of the as-of join should order by exactly these to reuse its
+    * sort.
+    */
+  val orderCols: Seq[String] = Seq("__ts", "__side", "__tie")
 }
 
 object Sessionize {
