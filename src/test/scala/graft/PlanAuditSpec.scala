@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits: these tests pin the SCALE properties of the engine —
+  * filters reach the parquet scan, small dimensions broadcast, the point-in-
+  * time pipeline is a single shuffle with a single sort, map-side partial
+  * aggregation is present. A regression here is a 100-TB performance bug
+  * even when results stay correct.
+  */
+class PlanAuditSpec extends GraftSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection are pushed into the parquet scan") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfSmall)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // only the needed columns are read
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("dimension joins broadcast (no shuffle join for small sides)") {
+    val p = plan(SparkEntry.queries("q02_revenue_by_nation")(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("flagship pipeline: exactly one exchange, windows share one sort") {
+    val t = graft.core.Transcripts.synthesize(spark, 50)
+      .write.mode("overwrite").parquet("/tmp/audit_t")
+    val tt = spark.read.parquet("/tmp/audit_t")
+    val snaps = graft.core.Transcripts.snapshots(tt)
+    snaps.write.mode("overwrite").parquet("/tmp/audit_s")
+    val pipe = graft.run.Flagship.pipeline(tt, spark.read.parquet("/tmp/audit_s"))
+    val p = pipe.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(exchanges == 1, s"flagship should shuffle exactly once, got $exchanges:\n$p")
+    assert(sorts == 1, s"flagship should sort exactly once, got $sorts")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val df = SparkEntry.queries("q09_weighted_stats")(spark, sfSmall)
+    val p = plan(df)
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("whole-stage codegen covers the stat expressions") {
+    val df = SparkEntry.queries("q09_weighted_stats")(spark, sfSmall)
+    df.collect() // finalize the adaptive plan
+    // '*(n)' prefixes mark WholeStageCodegen stages in the compact form
+    assert(plan(df).contains("*("), s"no codegen stage:\n${plan(df)}")
+  }
+}
