@@ -282,6 +282,44 @@ object SparkEntry {
         round(array_min(emb), 6).as("gmin"))
     }),
 
+    "q36_avg_dev" -> ((s, dir) => {
+      graft.stats.StatRegistry
+        .avgDev(li(s, dir), Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice_avg_dev"), 6).as("avg_dev"))
+    }),
+
+    "q37_geom_std" -> ((s, dir) => {
+      li(s, dir).groupBy(col("l_linestatus")).agg(
+        round(WeightedStats.geomStdDev(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("geom_std"))
+    }),
+
+    "q38_rollup" -> ((s, dir) => {
+      li(s, dir).rollup(col("l_returnflag"), col("l_linestatus")).agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+    }),
+
+    "q39_setops" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def users(t: String) =
+        e.where(col("event_type") === t).select(col("user_id")).distinct()
+      val both = users("click").intersect(users("purchase"))
+        .withColumn("tag", lit("both"))
+      val clickOnly = users("click").except(users("purchase"))
+        .withColumn("tag", lit("click_only"))
+      both.unionByName(clickOnly)
+    }),
+
+    "q40_lsh_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      graft.ann.Ann.lshTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec")),
+        e.select(col("vec_id").as("cid"), col("vec")), k = 3, planes = 6)
+    }),
+
     // no SQL oracle (driver records rows-only checks) ------------------------
     "q24_symbolic_search" -> ((s, dir) => {
       import graft.expr._
@@ -774,6 +812,59 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, round(cosine, 6) AS cosine
          |FROM pairs WHERE cosine >= 0.3""".stripMargin
+    },
+
+    "q36_avg_dev" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_quantity AS w, l_extendedprice AS x,
+        |    sum(l_quantity*l_extendedprice) OVER (PARTITION BY l_returnflag)
+        |      / sum(l_quantity) OVER (PARTITION BY l_returnflag) AS mu
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, round(sum(w*abs(x - mu))/sum(w), 6) AS avg_dev
+        |FROM m GROUP BY l_returnflag""".stripMargin,
+
+    "q37_geom_std" ->
+      """WITH ps AS (
+        |  SELECT l_linestatus,
+        |    sum(l_quantity) AS sw, sum(l_quantity*l_quantity) AS sww,
+        |    sum(l_quantity*ln(l_extendedprice)) AS sl,
+        |    sum(l_quantity*ln(l_extendedprice)*ln(l_extendedprice)) AS sll
+        |  FROM lineitem GROUP BY 1
+        |), st AS (SELECT *, sl/sw AS lx FROM ps)
+        |SELECT l_linestatus,
+        |  round(sqrt(exp((sw/(sw*sw - sww)) * (sll - 2*lx*sl + lx*lx*sw))), 6) AS geom_std
+        |FROM st""".stripMargin,
+
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q39_setops" ->
+      """SELECT user_id, 'both' AS tag FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_only' AS tag FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+
+    "q40_lsh_topk" -> {
+      val cos = OracleSqlGen.cosine("q.v", "c.v")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, ${OracleSqlGen.signBucket("v", 6)} AS bkey FROM e),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, round($cos, 6) AS cos
+         |      FROM bkt q JOIN bkt c ON q.bkey = c.bkey
+         |      WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |SELECT qid, cid, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM p)
+         |WHERE rank <= 3""".stripMargin
     },
 
     "q35_multimodal" -> {
