@@ -320,6 +320,17 @@ object SparkEntry {
         e.select(col("vec_id").as("cid"), col("vec")), k = 3, planes = 6)
     }),
 
+    "q41_time_rolling" -> ((s, dir) => {
+      // time-RANGE window (Neighborizer analog): events in the trailing 10
+      // minutes per user — rangeBetween over integer epoch-µs
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-600000000L, 0L)
+      ev(s, dir).select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_10min"),
+        round(sum(col("value")).over(w), 4).as("val_10min"))
+    }),
+
     // no SQL oracle (driver records rows-only checks) ------------------------
     "q24_symbolic_search" -> ((s, dir) => {
       import graft.expr._
@@ -866,6 +877,14 @@ object SparkEntry {
          |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM p)
          |WHERE rank <= 3""".stripMargin
     },
+
+    "q41_time_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_10min,
+        |  round(sum(value) OVER w, 4) AS val_10min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q35_multimodal" -> {
       val bytes = "list_transform(range(1, len(text)+1), i -> ascii(substr(text, i, 1)))"

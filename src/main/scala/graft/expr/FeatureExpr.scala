@@ -76,7 +76,22 @@ final case class Registry(
 
 object Compiler {
 
-  private def unary(op: String, c: Column): Column = op match {
+  /** User-defined op plugin point — the reference's `newfuncV`/`newfuncD`
+    * (featurebox/symbol/functions/newfunc.py:9-168): register a name with a
+    * Column builder (+ a Dim propagation rule) and it becomes usable in any
+    * FeatureExpr. No codegen work needed: builders compose existing
+    * Catalyst expressions.
+    */
+  final case class CustomOp(
+      build: Column => Column,
+      dim: DimT => DimT = identity)
+  private val customOps = scala.collection.concurrent.TrieMap.empty[String, CustomOp]
+  def registerOp(name: String, op: CustomOp): Unit = customOps.update(name, op)
+
+  private def unary(op: String, c: Column): Column =
+    customOps.get(op).map(_.build(c)).getOrElse(unaryBuiltin(op, c))
+
+  private def unaryBuiltin(op: String, c: Column): Column = op match {
     case "neg"    => negate(c)
     case "abs"    => abs(c)
     case "rec"    => try_divide(lit(1.0), c) // numpy 1/0 -> contained, not ANSI error
@@ -150,6 +165,8 @@ object Compiler {
         .orElse(reg.groups.get(n).map(_._2))
         .getOrElse(DNan)
     case ConstE(_) => Dim.dless
+    case Unary(op, c) if customOps.contains(op) =>
+      customOps(op).dim(dimOf(c, reg))
     case Unary(op, c) =>
       val d = dimOf(c, reg)
       op match {

@@ -37,7 +37,13 @@ object SymbolicSearch {
 
   final case class Individual(expr: FeatureExpr, score: Double, fit: Scoring.Fit)
 
-  final case class Result(hall: Seq[Individual], generations: Int) {
+  /** Per-generation statistics — the reference's `Statis_func` logbook
+    * (gp.py:548-594).
+    */
+  final case class GenStats(gen: Int, best: Double, mean: Double, nValid: Int)
+
+  final case class Result(hall: Seq[Individual], generations: Int,
+      logbook: Seq[GenStats] = Nil) {
     def best: Individual = hall.head
   }
 
@@ -101,9 +107,33 @@ object SymbolicSearch {
     (replaceAt(a, ia, sb), replaceAt(b, ib, sa))
   }
 
+  /** mutUniform: replace a random subtree with a freshly grown one. */
   def mutate(rnd: Random, reg: Registry, e: FeatureExpr, maxH: Int): FeatureExpr = {
     val i = rnd.nextInt(nodes(e))
     replaceAt(e, i, grow(rnd, reg, math.max(1, maxH - 2)))
+  }
+
+  /** mutShrink (gp.py:269-): collapse a random internal node to one of its
+    * own terminals — shortens expressions without losing their inputs.
+    */
+  def mutShrink(rnd: Random, e: FeatureExpr): FeatureExpr = {
+    val i = rnd.nextInt(nodes(e))
+    val sub = subtreeAt(e, i)
+    val leaves = sub.terminals
+    if (leaves.isEmpty) e
+    else replaceAt(e, i, Terminal(leaves(rnd.nextInt(leaves.size))))
+  }
+
+  /** mutNodeReplacement: swap one node's op for another of the same arity
+    * (children preserved) — the reference's same-arity node swap.
+    */
+  def mutNode(rnd: Random, e: FeatureExpr): FeatureExpr = {
+    val i = rnd.nextInt(nodes(e))
+    subtreeAt(e, i) match {
+      case Unary(_, c)      => replaceAt(e, i, Unary(unaryOps(rnd.nextInt(unaryOps.size)), c))
+      case Binary(_, l, r)  => replaceAt(e, i, Binary(binaryOps(rnd.nextInt(binaryOps.size)), l, r))
+      case _                => e
+    }
   }
 
   /** staticLimit: reject offspring exceeding the height bound — revert to
@@ -121,6 +151,7 @@ object SymbolicSearch {
       var gen = 0
       var stop = false
       val recent = scala.collection.mutable.Queue.empty[Double]
+      val logbook = Vector.newBuilder[GenStats]
       while (gen < cfg.nGen && !stop) {
         gen += 1
         // dim typecheck prunes before any Spark work
@@ -146,6 +177,10 @@ object SymbolicSearch {
         hall = (hall ++ scored).sortBy(-_.score).take(10)
           .foldLeft(Vector.empty[Individual])((acc, ind) =>
             if (acc.exists(_.expr == ind.expr)) acc else acc :+ ind)
+        val valid = scored.filter(_.score > Scoring.worst)
+        logbook += GenStats(gen, scored.map(_.score).max,
+          if (valid.nonEmpty) valid.map(_.score).sum / valid.size else Scoring.worst,
+          valid.size)
         if (hall.head.score >= cfg.stopAt) stop = true
         recent.enqueue(hall.head.score)
         if (recent.size > cfg.plateau) {
@@ -166,15 +201,22 @@ object SymbolicSearch {
             case v => v
           }.toVector
           pop = crossed.map { ind =>
-            if (rnd.nextDouble() < cfg.mutPb)
-              limited(mutate(rnd, reg, ind, cfg.maxHeight), ind, cfg.maxHeight)
-            else ind
+            if (rnd.nextDouble() < cfg.mutPb) {
+              // mutation suite (MutilMutateLoop analog): uniform / shrink /
+              // node-replacement chosen at random
+              val mutated = rnd.nextInt(3) match {
+                case 0 => mutate(rnd, reg, ind, cfg.maxHeight)
+                case 1 => mutShrink(rnd, ind)
+                case _ => mutNode(rnd, ind)
+              }
+              limited(mutated, ind, cfg.maxHeight)
+            } else ind
           }
           // elitism: keep the best seen
           pop = pop.updated(0, hall.head.expr)
         }
       }
-      Result(hall, gen)
+      Result(hall, gen, logbook.result())
     } finally { cached.unpersist() }
   }
 
