@@ -57,12 +57,21 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
       .where(col("bsize") <= blockCap)
       .drop("bsize")
-    val a = capped.select(col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("bkey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = capped.select(col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("sz_a"))
+    val b = capped.select(col("bkey"), col("id").as("id_b"),
+      col("sh").as("sh_b"), size(col("sh")).as("sz_b"))
+    // exact size-ratio pruning (J >= t implies min >= t*max), evaluated
+    // before the intersection — same trick as ngramJaccardPairs; the join
+    // stays a pure equi hash join on the band key
+    val sizeOk = least(col("sz_a"), col("sz_b")).cast("double") >=
+      lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double")
     a.join(b, Seq("bkey"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") && sizeOk)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"))
       .select(col("id_a"), col("id_b"),
-        TextHash.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .distinct()
@@ -100,9 +109,22 @@ object Dedup {
       .distinct()
   }
 
-  /** Blocked exact n-gram Jaccard pairs: block by a cheap key, compare within
-    * blocks only. The fully-general quadratic comparison is intentionally
-    * not offered — at scale you always block first.
+  /** Exact n-gram Jaccard pairs via a PPJoin-style prefix-filtered set-
+    * similarity join (exact — identical output to the brute-force blocked
+    * comparison, which is what the DuckDB oracle computes):
+    *
+    *  1. global shingle document-frequencies (one aggregation);
+    *  2. each doc keeps only its PREFIX — the floor((1−t)·|A|)+1 globally
+    *     rarest shingles: two sets with J ≥ t MUST share a prefix shingle
+    *     (standard prefix-filtering theorem), so candidates are generated by
+    *     an equi-join on prefix shingles only. Rare shingles → tiny fan-out;
+    *     the quadratic blow-up of joining on common shingles never happens;
+    *  3. exact size-ratio pruning (J ≥ t ⟹ min|A|,|B| ≥ t·max);
+    *  4. only surviving candidate pairs re-fetch their full shingle sets
+    *     (semi-join by id) and pay the O(|A|) intersection, computed once.
+    *
+    * At 100 TB this is the canonical shape: shuffles carry (shingle, id)
+    * prefix pairs and candidate id-pairs — never the full sets per pair.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -114,12 +136,34 @@ object Dedup {
   ): DataFrame = {
     val prepped = df.select(col(idCol).as("id"), blockKey.as("blk"),
       TextHash.shingleHashes(col(textCol), shingleN).as("sh"))
-    val a = prepped.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = prepped.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
-      .where(col("id_a") < col("id_b"))
+      .withColumn("sz", size(col("sh")))
+      .where(col("sz") > 0)
+    val long = prepped.select(col("id"), col("blk"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val freq = long.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = long.join(freq, Seq("shingle"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select(col("shingle"), col("blk"), col("id"), col("sz"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val pa = prepped.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val pb = prepped.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    cand.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"))
       .select(col("id_a"), col("id_b"),
-        TextHash.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
