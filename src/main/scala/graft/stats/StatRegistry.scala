@@ -33,6 +33,8 @@ object StatRegistry {
       case "geom_std_dev" => WeightedStats.geomStdDev
       case "holder_mean"  => (x, w) => WeightedStats.holderMean(x, w, args.headOption.getOrElse(1.0))
       case "quantile"     => (x, _) => WeightedStats.quantile(x, args.headOption.getOrElse(0.5))
+      case "sorted"       => (x, _) => sort_array(collect_list(x)) // extrastats.py:299-305
+      case "flatten"      => (x, _) => flatten(collect_list(x)) // ravel of array-valued x
       case "avg_dev" =>
         // weighted mean absolute deviation needs the mean first — two-phase;
         // exposed via DataFrame helper below
@@ -45,6 +47,15 @@ object StatRegistry {
     "minimum", "maximum", "range", "mean", "inverse_mean", "geom_mean",
     "harm_mean", "variance", "std_dev", "skewness", "kurtosis",
     "geom_std_dev", "holder_mean::2", "quantile::0.5")
+
+  /** Eigenvalues of a small symmetric matrix (extrastats.py:307-321) —
+    * driver-side breeze on a collected matrix (the reference's use case is
+    * d×d statistics matrices, never data-sized).
+    */
+  def eigenvalues(m: Array[Array[Double]]): Array[Double] = {
+    val dm = breeze.linalg.DenseMatrix.tabulate(m.length, m.length)((i, j) => m(i)(j))
+    breeze.linalg.eigSym(dm).eigenvalues.toArray.sorted
+  }
 
   /** Weighted mean absolute deviation about the weighted mean
     * (extrastats.py:115-128). Two passes expressed as one self-join-free
