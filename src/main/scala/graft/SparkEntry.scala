@@ -331,6 +331,18 @@ object SparkEntry {
         round(sum(col("value")).over(w), 4).as("val_10min"))
     }),
 
+    "q42_asof_skewcapped" -> ((s, dir) => {
+      // same semantics as q08 but through the skew-capped two-phase as-of:
+      // the DuckDB ASOF oracle proves the bucket-split + carry-in rewrite
+      val e = ev(s, dir)
+      AsOf.asofJoinSkewCapped(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        purchaseSnapshots(e),
+        key = "user_id", leftTs = "ts", rightTs = "snap_ts",
+        tiebreak = "snap_event_id", payload = Seq("snap_value"),
+        bucketSeconds = 86400L)
+    }),
+
     // no SQL oracle (driver records rows-only checks) ------------------------
     "q24_symbolic_search" -> ((s, dir) => {
       import graft.expr._
@@ -824,6 +836,18 @@ object SparkEntry {
          |SELECT id_a, id_b, round(cosine, 6) AS cosine
          |FROM pairs WHERE cosine >= 0.3""".stripMargin
     },
+
+    "q42_asof_skewcapped" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts,
+        |    max_by(value, event_id) AS snap_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, s.snap_value
+        |FROM events e
+        |ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
 
     "q36_avg_dev" ->
       """WITH m AS (

@@ -108,6 +108,92 @@ object AsOf {
     * sort.
     */
   val orderCols: Seq[String] = Seq("__ts", "__side", "__tie")
+
+  /** Skew-capped backward as-of join (SURVEY §7.4 point 6): identical
+    * semantics to [[asofJoin]], but a single mega-conversation can no longer
+    * pin one task. Each key is split into fixed time buckets:
+    *
+    *  1. within-(key, bucket) running merge — the same union+window pass,
+    *     but partitioned by (key, bucket), so the largest task is bounded by
+    *     bucket width, not conversation length;
+    *  2. per-(key, bucket) boundary summary: the latest admissible snapshot
+    *     in the bucket (ONE row per bucket — tiny);
+    *  3. carry-ins: running `last` over the bucket summaries per key (a
+    *     window over #buckets rows per key — no skew by construction);
+    *  4. join carry-ins back on (key, bucket); rows with no within-bucket
+    *     snapshot take the carry-in. Never a future value: carry-in b only
+    *     aggregates buckets < b.
+    *
+    * Output is row-identical to [[asofJoin]] (property-tested).
+    */
+  def asofJoinSkewCapped(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      tiebreak: String,
+      payload: Seq[String],
+      bucketSeconds: Long
+  ): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    def bucketOf(ts: Column): Column =
+      floor(unix_micros(ts.cast("timestamp")) / lit(bucketSeconds * 1000000L))
+
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(Int.MaxValue))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = right.select((col(key) +: Seq(
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      col(tiebreak).cast("int").as("__tie"),
+      payloadStruct.as("__payload")
+    )) ++ leftCols.filterNot(_ == key).map(c =>
+      lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val cols = (key +: leftCols.filterNot(_ == key)).map(col) ++
+      Seq(col("__ts"), col("__side"), col("__tie"), col("__payload"))
+    val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
+      .withColumn("__bucket", bucketOf(col("__ts")))
+
+    // 1. within-bucket running last (bounded task size)
+    val wInner = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inner = unioned.withColumn("__snap",
+      last(col("__payload"), ignoreNulls = true).over(wInner))
+
+    // 2+3. bucket summaries and running carry-ins (tiny per key)
+    val summaries = unioned
+      .where(col("__payload").isNotNull)
+      .groupBy(col(key), col("__bucket"))
+      .agg(max_by(col("__payload"), struct(col("__ts"), col("__tie")))
+        .as("__bucket_last"))
+    // carry-ins must exist for EVERY bucket a left row occupies, not only
+    // buckets containing snapshots — build from the distinct bucket set
+    val allBuckets = unioned.select(col(key), col("__bucket")).distinct()
+    val wCarryAll = Window.partitionBy(col(key)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryAll = allBuckets
+      .join(summaries, Seq(key, "__bucket"), "left")
+      .withColumn("__carry",
+        last(col("__bucket_last"), ignoreNulls = true).over(wCarryAll))
+      .select(col(key), col("__bucket"), col("__carry"))
+
+    // 4. resolve: within-bucket snap, else carry-in
+    val resolved = inner
+      .join(carryAll, Seq(key, "__bucket"), "left")
+      .where(col("__side") === 1)
+      .withColumn("__final", coalesce(col("__snap"), col("__carry")))
+    val out = payload.foldLeft(resolved) { (df, p) =>
+      df.withColumn(p, col("__final").getField(p))
+    }
+    out.select(leftCols.map(col) ++ payload.map(col): _*)
+  }
 }
 
 object Sessionize {

@@ -89,6 +89,30 @@ class TemporalSpec extends GraftSuite {
     assert(cmp.count() == 0L)
   }
 
+  test("skew-capped as-of join is row-identical to the plain as-of join") {
+    val t = Transcripts.synthesize(spark, 60, megaEvery = 16, megaLen = 300)
+    val snaps = Transcripts.snapshots(t)
+    val plain = AsOf.asofJoin(t, snaps, "conv_id", "ts", "snapshot_ts",
+      "snap_turn_idx", Seq("f_vec"))
+    // small bucket (10 min) so mega-conversations split into many buckets
+    val capped = AsOf.asofJoinSkewCapped(t, snaps, "conv_id", "ts",
+      "snapshot_ts", "snap_turn_idx", Seq("f_vec"), bucketSeconds = 600L)
+    assert(capped.count() == plain.count())
+    val diff = plain.alias("p").join(capped.alias("c"),
+        Seq("conv_id", "turn_idx"))
+      .where(!(col("p.f_vec") <=> col("c.f_vec")))
+    assert(diff.count() == 0L, "skew-capped as-of diverged from plain as-of")
+    // and on the small explicit fixture too (ties, missing keys)
+    val cappedSmall = AsOf.asofJoinSkewCapped(left, right, "key", "ts",
+      "snap_ts", "tb", Seq("snap_value"), bucketSeconds = 60L)
+      .select($"id", $"snap_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    leftRows.foreach { case (id, _, _) =>
+      assert(cappedSmall(id) == bruteAsof(id), s"row $id")
+    }
+  }
+
   test("sessionize: new session iff gap > threshold, ids monotone dense") {
     val rows = Seq(
       ("a", 1L, 0L), ("a", 2L, 100L), ("a", 3L, 2000L), // gap 1900 > 1800
