@@ -45,10 +45,14 @@ object Dedup {
     val rows = numHashes / bands
     val withSig = df.select(
       col(idCol).as("id"),
-      TextHash.shingleHashes(col(textCol), shingleN).as("sh"))
+      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("bkeys", TextHash.bandKeys(
         TextHash.minhashSig(col("sh"), numHashes), bands, rows))
+      // materialize the per-doc prep once: the self-join + payload re-fetch
+      // would otherwise recompute shingling/minhashing 4x (the operator-level
+      // analog of the reference's lru_cache memoization, ugs.py:265)
+      .localCheckpoint(false)
     val buckets = withSig
       .select(col("id"), col("sh"), explode(col("bkeys")).as("bkey"))
     // prune degenerate buckets before the quadratic step
@@ -57,24 +61,30 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
       .where(col("bsize") <= blockCap)
       .drop("bsize")
-    val a = capped.select(col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"),
-      size(col("sh")).as("sz_a"))
-    val b = capped.select(col("bkey"), col("id").as("id_b"),
-      col("sh").as("sh_b"), size(col("sh")).as("sz_b"))
-    // exact size-ratio pruning (J >= t implies min >= t*max), evaluated
-    // before the intersection — same trick as ngramJaccardPairs; the join
-    // stays a pure equi hash join on the band key
+    // candidate generation carries only (bkey, id, size) — the shingle
+    // arrays are re-fetched by id for the (much smaller) verified pair set
+    val slim = capped.select(col("bkey"), col("id"), size(col("sh")).as("sz"))
+    val a = slim.select(col("bkey"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = slim.select(col("bkey"), col("id").as("id_b"), col("sz").as("sz_b"))
+    // exact size-ratio pruning (J >= t implies min >= t*max) before any
+    // payload is touched; the join stays a pure equi hash join on band key
     val sizeOk = least(col("sz_a"), col("sz_b")).cast("double") >=
       lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double")
-    a.join(b, Seq("bkey"))
+    val cand = a.join(b, Seq("bkey"))
       .where(col("id_a") < col("id_b") && sizeOk)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val pa = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("sz_a"))
+    val pb = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("sz_b"))
+    cand.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"))
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double").as("inter"))
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .distinct()
   }
 
   /** SimHash near-dup pairs: 16-bit signatures, candidates = equal signature
@@ -135,9 +145,12 @@ object Dedup {
       threshold: Double = 0.3
   ): DataFrame = {
     val prepped = df.select(col(idCol).as("id"), blockKey.as("blk"),
-      TextHash.shingleHashes(col(textCol), shingleN).as("sh"))
+      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .where(col("sz") > 0)
+      // materialized once: reused by the frequency pass, the prefix join
+      // (both sides) and the verification payload re-fetch (both sides)
+      .localCheckpoint(false)
     val long = prepped.select(col("id"), col("blk"), col("sz"),
       explode(col("sh")).as("shingle"))
     val freq = long.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -161,7 +174,8 @@ object Dedup {
       col("sz").as("sz_b"))
     cand.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"))
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double").as("inter"))
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)

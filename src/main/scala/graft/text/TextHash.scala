@@ -15,16 +15,13 @@ object TextHash {
   val M: Long = 1L << 32
 
   /** Polynomial rolling hash of a string: left fold of h*31 + codepoint
-    * (mod 2^32) — fully codegen'd, identical fold order in SQL
-    * `list_reduce`. Empty string hashes to 0.
+    * (mod 2^32), identical fold order in the SQL oracle's `list_reduce`.
+    * Implemented as a native Catalyst expression with codegen
+    * ([[graft.functions.PolyHash]]) — one generated loop per row instead of
+    * a per-character higher-order-function chain. Empty/null hash to 0.
     */
   def polyHash(s: Column): Column =
-    when(length(s) === 0 || s.isNull, lit(0L)).otherwise(
-      aggregate(
-        sequence(lit(1), length(s)),
-        lit(0L),
-        (acc, i) => pmod(acc * 31L + ascii(s.substr(i, lit(1))).cast("long"), lit(M))
-      ))
+    coalesce(graft.functions.PolyHash(s), lit(0L))
 
   /** Character n-gram (shingle) array, distinct. */
   def shingles(text: Column, n: Int): Column =
