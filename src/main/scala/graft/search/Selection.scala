@@ -128,6 +128,23 @@ object BackForward {
   }
 }
 
+/** BackForwardCV (selection/backforward.py:337-385): run BackForward once
+  * per held-out fold variant and keep the support with the best overall CV
+  * score — all on the precomputed Grams, zero extra data passes.
+  */
+object BackForwardCV {
+  def search(grams: FoldGrams, tolerance: Double = 0.01): (Seq[Int], Double) = {
+    val variants = grams.folds.indices.map { held =>
+      val reduced = FoldGrams(grams.features,
+        grams.folds.zipWithIndex.collect { case (g, i) if i != held => g })
+      BackForward.search(reduced, seed = held.toLong, tolerance = tolerance)._1
+    }
+    variants.distinct
+      .map(s => (s, grams.cvR2(s)))
+      .maxBy(_._2)
+  }
+}
+
 /** Binary-mask genetic algorithm (selection/ga.py:90-123 + eaSimple loop
   * :13-79): tournament selection, two-point crossover, shuffle-index
   * mutation, hall of fame, 15-generation plateau early stop.

@@ -32,7 +32,9 @@ object SymbolicSearch {
       seed: Long = 42L,
       stopAt: Double = Double.PositiveInfinity, // flow.py stop_condition
       requireDimless: Boolean = false,
-      plateau: Int = 15
+      plateau: Int = 15,
+      usePreMap: Boolean = false, // probability-guided terminal co-selection
+      preMapRate: Double = 0.1
   )
 
   final case class Individual(expr: FeatureExpr, score: Double, fit: Scoring.Fit)
@@ -50,10 +52,23 @@ object SymbolicSearch {
   private val unaryOps = Vector("neg", "abs", "sqrt", "ln", "pow2")
   private val binaryOps = Vector("+", "-", "*", "/")
 
-  /** genGrow (gp.py:69-206): probability-weighted random tree. */
-  def grow(rnd: Random, reg: Registry, maxH: Int): FeatureExpr = {
+  /** genGrow (gp.py:69-206): probability-weighted random tree. When a
+    * [[PreMap]] is supplied, terminal choice after the first is biased by
+    * the preference matrix (the reference's premap-guided generation,
+    * preference.py:244-264).
+    */
+  def grow(rnd: Random, reg: Registry, maxH: Int,
+      premap: Option[PreMap] = None): FeatureExpr = {
     val names = reg.names
-    def leaf(): FeatureExpr = Terminal(names(rnd.nextInt(names.size)))
+    var lastTerminal = -1
+    def leaf(): FeatureExpr = {
+      val idx = premap match {
+        case Some(pm) if lastTerminal >= 0 => pm.samplePartner(lastTerminal, rnd)
+        case _                             => rnd.nextInt(names.size)
+      }
+      lastTerminal = idx
+      Terminal(names(idx))
+    }
     def go(h: Int): FeatureExpr =
       if (h <= 0 || rnd.nextDouble() < 0.3) leaf()
       else rnd.nextInt(3) match {
@@ -61,6 +76,19 @@ object SymbolicSearch {
         case _ => Binary(binaryOps(rnd.nextInt(binaryOps.size)), go(h - 1), go(h - 1))
       }
     go(maxH)
+  }
+
+  /** selKbestDim (gp.py:497-545): top-k individuals whose expression
+    * dimension satisfies the predicate, padded by replicating the best when
+    * fewer than k qualify.
+    */
+  def selKbestDim(
+      scored: Seq[Individual], k: Int, reg: Registry,
+      dimOk: graft.expr.DimT => Boolean): Seq[Individual] = {
+    val ok = scored.filter(i => dimOk(Compiler.dimOf(i.expr, reg)))
+      .sortBy(-_.score).take(k)
+    if (ok.isEmpty) Seq.empty
+    else ok ++ Seq.fill(k - ok.size)(ok.head)
   }
 
   // --- subtree surgery (cxOnePoint gp.py:212-235, mutUniform :269-443) ----
@@ -108,9 +136,10 @@ object SymbolicSearch {
   }
 
   /** mutUniform: replace a random subtree with a freshly grown one. */
-  def mutate(rnd: Random, reg: Registry, e: FeatureExpr, maxH: Int): FeatureExpr = {
+  def mutate(rnd: Random, reg: Registry, e: FeatureExpr, maxH: Int,
+      premap: Option[PreMap] = None): FeatureExpr = {
     val i = rnd.nextInt(nodes(e))
-    replaceAt(e, i, grow(rnd, reg, math.max(1, maxH - 2)))
+    replaceAt(e, i, grow(rnd, reg, math.max(1, maxH - 2), premap))
   }
 
   /** mutShrink (gp.py:269-): collapse a random internal node to one of its
@@ -145,8 +174,10 @@ object SymbolicSearch {
   def fit(df: DataFrame, reg: Registry, y: Column, cfg: Config = Config()): Result = {
     val rnd = new Random(cfg.seed)
     val cached = df.persist()
+    val premap = if (cfg.usePreMap) Some(PreMap.uniform(reg.names.size)) else None
+    val nameIdx = reg.names.zipWithIndex.toMap
     try {
-      var pop = Vector.fill(cfg.popSize)(grow(rnd, reg, cfg.maxHeight))
+      var pop = Vector.fill(cfg.popSize)(grow(rnd, reg, cfg.maxHeight, premap))
       var hall = Vector.empty[Individual]
       var gen = 0
       var stop = false
@@ -182,6 +213,13 @@ object SymbolicSearch {
           if (valid.nonEmpty) valid.map(_.score).sum / valid.size else Scoring.worst,
           valid.size)
         if (hall.head.score >= cfg.stopAt) stop = true
+        // premap online update from elites (flow.py:331-333)
+        premap.foreach { pm =>
+          hall.take(3).foreach { elite =>
+            pm.update(elite.expr.terminals.distinct.flatMap(nameIdx.get),
+              cfg.preMapRate, rnd)
+          }
+        }
         recent.enqueue(hall.head.score)
         if (recent.size > cfg.plateau) {
           recent.dequeue()
@@ -205,7 +243,7 @@ object SymbolicSearch {
               // mutation suite (MutilMutateLoop analog): uniform / shrink /
               // node-replacement chosen at random
               val mutated = rnd.nextInt(3) match {
-                case 0 => mutate(rnd, reg, ind, cfg.maxHeight)
+                case 0 => mutate(rnd, reg, ind, cfg.maxHeight, premap)
                 case 1 => mutShrink(rnd, ind)
                 case _ => mutNode(rnd, ind)
               }

@@ -64,6 +64,29 @@ class ClusterSpec extends GraftSuite {
     assert(sampled.count(_ == 3) > sampled.count(_ == 5))
   }
 
+  test("backforward CV picks a high-scoring support; premap-guided GP runs") {
+    val rnd = new Random(21)
+    val rows = (1 to 300).map { i =>
+      val x0 = rnd.nextDouble(); val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (i.toLong, x0, x1, x2, 4.0 * x0 + 2.0 * x2 + rnd.nextGaussian() * 0.001)
+    }
+    val df = rows.toDF("id", "x0", "x1", "x2", "y")
+    val grams = GramCV.fit(df, Seq("x0", "x1", "x2"), "y", 3, Seq(col("id")))
+    val (subset, score) = BackForwardCV.search(grams)
+    assert(score > 0.999 && subset.contains(0) && subset.contains(2))
+    // premap-guided symbolic search converges too (and its hall is valid)
+    val reg = graft.expr.Registry(terminals = Map(
+      "x0" -> (col("x0"), graft.expr.Dim.dless),
+      "x2" -> (col("x2"), graft.expr.Dim.dless)))
+    val res = SymbolicSearch.fit(df, reg, col("y"),
+      SymbolicSearch.Config(popSize = 40, nGen = 8, maxHeight = 3,
+        usePreMap = true))
+    assert(res.best.score > 0.85, s"got ${res.best.score}")
+    // selKbestDim pads with the best when fewer than k qualify
+    val sel = SymbolicSearch.selKbestDim(res.hall, 5, reg, _.isDless)
+    assert(sel.size == 5 || sel.isEmpty)
+  }
+
   test("coef fit: linear terms via normal equations; nonlinear Gauss-Newton") {
     val rnd = new Random(4)
     val rows = (1 to 300).map { i =>
