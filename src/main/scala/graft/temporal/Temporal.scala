@@ -62,6 +62,8 @@ object AsOf {
       keepOrder: Boolean = false
   ): DataFrame = {
     val leftCols = left.columns
+    require(payload.forall(!leftCols.contains(_)),
+      s"as-of payload columns ${payload.filter(leftCols.contains)} collide with left columns")
     val payloadStruct = struct(payload.map(col): _*)
 
     val l = left
@@ -137,6 +139,8 @@ object AsOf {
       bucketSeconds: Long
   ): DataFrame = {
     val leftCols = left.columns
+    require(payload.forall(!leftCols.contains(_)),
+      s"as-of payload columns ${payload.filter(leftCols.contains)} collide with left columns")
     val payloadStruct = struct(payload.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
     def bucketOf(ts: Column): Column =
