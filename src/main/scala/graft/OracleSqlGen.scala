@@ -14,9 +14,20 @@ object OracleSqlGen {
       s"list_transform(range(1, len($e)+1), i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))), " +
       s"(a, c) -> (a*31 + c) % $M)"
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped — regex split so tabs/newlines
+    * tokenize exactly like Spark's `split(trim(x), "\\s+")`.
+    */
   def toks(e: String): String =
-    s"list_filter(string_split(trim($e), ' '), t -> t <> '')"
+    s"list_filter(regexp_split_to_array(trim($e), '\\s+'), t -> t <> '')"
+
+  /** UTF-8 bytes of a string as an int list (hex-digit extraction) — matches
+    * JVM `getBytes("UTF-8")` for any unicode input, so byte-folding checksums
+    * (Multimodal.FakeDecoder) verify cross-engine beyond ASCII.
+    */
+  def utf8Bytes(e: String): String =
+    s"list_transform(range(0, octet_length(encode($e))), i -> " +
+      s"CAST((strpos('0123456789abcdef', substr(lower(hex(encode($e))), 2*i+1, 1))-1)*16 " +
+      s"+ (strpos('0123456789abcdef', substr(lower(hex(encode($e))), 2*i+2, 1))-1) AS BIGINT))"
 
   /** Distinct shingle hashes of char n-grams. */
   def shingleHashes(e: String, n: Int): String =

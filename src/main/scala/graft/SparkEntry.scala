@@ -95,18 +95,25 @@ object SparkEntry {
 
     "q05_rolling" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // windowed sums of DOUBLE are summation-order-dependent (DuckDB's
+      // segment tree vs Spark's sequential frame scan), so round-then-sum an
+      // EXACT integer quantity: floor(v*1e4 + 0.5) is the identical IEEE op
+      // on both engines and long sums are order-free
+      val vq = floor(col("value") * 10000.0 + 0.5).cast("long")
       ev(s, dir).select(
         col("event_id"), col("user_id"),
         sum(when(col("event_type") === "click", 1).otherwise(0))
           .over(w.rowsBetween(-9, 0)).as("clicks_10"),
-        round(sum(col("value")).over(w.rowsBetween(-4, 0)), 4).as("val_5"))
+        (sum(vq).over(w.rowsBetween(-4, 0)) / 10000.0).as("val_5"))
     }),
 
     "q06_sessionize" -> ((s, dir) => {
+      // same exact-integer-sum discipline as q05 (cross-engine FP parity)
+      val vq = floor(col("value") * 10000.0 + 0.5).cast("long")
       Sessionize.byGap(ev(s, dir), "user_id", "ts", Seq("ts", "event_id"), 1800L)
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("session_value"))
+          (sum(vq) / 10000.0).as("session_value"))
     }),
 
     "q07_backfill" -> ((s, dir) => {
@@ -353,10 +360,66 @@ object SparkEntry {
       val reg = Registry(terminals = Map(
         "x0" -> (col("x0"), Dim.dless), "x1" -> (col("x1"), Dim.dless)))
       val res = graft.search.SymbolicSearch.fit(d, reg, col("y"),
-        graft.search.SymbolicSearch.Config(popSize = 30, nGen = 4, maxHeight = 3))
+        graft.search.SymbolicSearch.Config(popSize = 30, nGen = 4, maxHeight = 3,
+          reTree = 2)) // elite-subtree re-add live in the driver run
       s.createDataFrame(res.hall.take(5).map(h =>
         (h.expr.render, math.rint(h.score * 100) / 100)))
         .toDF("expr", "score")
+    }),
+
+    "q43_score_batch" -> ((s, dir) => {
+      // the GP scoring path (Scoring.scoreBatch: one select + one agg per
+      // chunk, closed-form A·f+B OLS, error containment) on a FIXED
+      // candidate set — fully oracle-checkable, unlike the driver-RNG search
+      import graft.expr._
+      val reg = Registry(terminals = Map(
+        "x0" -> (col("l_quantity"), Dim.dless),
+        "x1" -> (col("l_tax"), Dim.dless),
+        "x2" -> (col("l_discount"), Dim.dless)))
+      val cands = Seq(
+        "cadd" -> Binary("+", Terminal("x0"), Terminal("x1")),
+        "cmul" -> Binary("*", Terminal("x0"), Terminal("x2")),
+        "cdiv" -> Binary("/", Terminal("x0"), Terminal("x2")), // /0 → contained
+        "csq" -> Unary("pow2", Terminal("x0")))
+      val fits = Scoring.scoreBatch(li(s, dir), col("l_extendedprice"),
+        cands.map { case (n, e) => n -> Compiler.compile(e, reg) })
+      val rows = cands.map { case (n, _) =>
+        val f = fits(n)
+        (n, BigDecimal(f.r2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, f.n)
+      }
+      s.createDataFrame(rows).toDF("cand", "r2", "n_ok")
+    }),
+
+    "q44_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs (q34 config) resolved to connected components:
+      // cluster_id = smallest member id = the canonical keeper
+      val pairs = graft.text.Dedup.embeddingPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        planes = 4, threshold = 0.3, blockCap = 100000)
+      graft.text.Dedup.resolveClusters(pairs)
+        .select(col("id"), col("cluster_id"))
+    }),
+
+    "q45_mic" -> ((s, dir) => {
+      // binned-MI (MIC-variant) matrix, long format like q20
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val m = graft.search.Corr.binnedMI(li(s, dir), cols, bins = 4)
+      val rows = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j), BigDecimal(m(i)(j) / math.log(4.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      s.createDataFrame(rows).toDF("xi", "xj", "mic")
+    }),
+
+    "q46_lsh_multiprobe" -> ((s, dir) => {
+      // q40 with 1-bit-flip multi-probe: recovers neighbors lost across a
+      // single hyperplane at fixed planes
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      graft.ann.Ann.lshTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec")),
+        e.select(col("vec_id").as("cid"), col("vec")),
+        k = 3, planes = 6, probes = 6)
     }),
 
     // ---- training-data pipeline ops ---------------------------------------
@@ -434,14 +497,19 @@ object SparkEntry {
     }),
 
     "q25_ego_rank" -> ((s, dir) => {
-      val train = li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      val model = graft.search.Ego.fitBootstrap(
-        train, Seq("x"), "y", xxhash64(col("l_orderkey"), col("l_linenumber")), b = 8)
+      // fully oracle-verified EGO: LCG bootstrap weights + exact integer
+      // sufficient statistics (quantity is integer-valued, price quantized
+      // to cents) → bit-identical betas/EI across engines
+      val model = graft.search.Ego.fitBootstrapExact(
+        li(s, dir), "x",
+        x = col("l_quantity"),
+        yInt = floor(col("l_extendedprice") * 100.0 + 0.5),
+        rowKey = col("l_orderkey") * 8 + col("l_linenumber"), b = 8)
       val space = graft.search.Ego.searchSpace(s,
         Seq("x" -> (1 to 60).map(_.toDouble)))
-      graft.search.Ego.rank(space, model, yStar = 60000.0)
-        .limit(10).select(col("x"), round(col("ei"), 2).as("ei"))
+      graft.search.Ego.rank(space, model, yStar = 6000000.0) // y* = $60k in cents
+        .orderBy(col("ei").desc, col("x").asc).limit(10)
+        .select(col("x"), round(col("ei") / 100.0, 2).as("ei"))
     })
   )
 
@@ -485,9 +553,9 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS clicks_10,
-        |  round(sum(value)
+        |  sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS val_5
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 10000.0 AS val_5
         |FROM events""".stripMargin,
 
     "q06_sessionize" ->
@@ -504,7 +572,8 @@ object SparkEntry {
         |  FROM gapped
         |)
         |SELECT user_id, session_idx, count(*) AS n_events,
-        |  round(sum(value), 4) AS session_value
+        |  CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0 AS session_value
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
 
     "q07_backfill" ->
@@ -728,6 +797,117 @@ object SparkEntry {
         |  round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS gmin
         |FROM embeddings""".stripMargin,
 
+    "q43_score_batch" -> {
+      // mirrors Scoring.scoreChunk exactly: ok-mask (null/NaN/Inf → row
+      // dropped), n<total or n<2 → worst (-1), closed-form A·f+B OLS, r2
+      def block(name: String, fExpr: String) =
+        s"""SELECT '$name' AS cand,
+           |  round(CASE WHEN n < total OR n < 2 THEN -1.0
+           |    WHEN sst <= 0 THEN -1.0
+           |    WHEN isnan(r2v) THEN -1.0
+           |    ELSE r2v END, 6) AS r2,
+           |  CAST(n AS BIGINT) AS n_ok
+           |FROM (
+           |  SELECT n, total, sst,
+           |    1.0 - (syy - 2*a*sfy - 2*b*sy + a*a*sff + 2*a*b*sf + n*b*b) / sst AS r2v
+           |  FROM (
+           |    SELECT n, total, sf, sff, sy, syy, sfy,
+           |      syy - sy*sy/n AS sst,
+           |      CASE WHEN abs(n*sff - sf*sf) < 1e-300 THEN 0.0
+           |           ELSE (n*sfy - sf*sy)/(n*sff - sf*sf) END AS a,
+           |      CASE WHEN abs(n*sff - sf*sf) < 1e-300 THEN sy/n
+           |           ELSE (sy - (n*sfy - sf*sy)/(n*sff - sf*sf)*sf)/n END AS b
+           |    FROM (
+           |      SELECT CAST(count(f) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS total,
+           |        sum(f) AS sf, sum(f*f) AS sff,
+           |        sum(CASE WHEN f IS NOT NULL THEN y END) AS sy,
+           |        sum(CASE WHEN f IS NOT NULL THEN y*y END) AS syy,
+           |        sum(f*y) AS sfy
+           |      FROM (SELECT $fExpr AS f, l_extendedprice AS y FROM lineitem)
+           |    )
+           |  )
+           |)""".stripMargin
+      Seq(
+        block("cadd", "l_quantity + l_tax"),
+        block("cmul", "l_quantity * l_discount"),
+        block("cdiv",
+          "CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END"),
+        block("csq", "l_quantity * l_quantity")
+      ).mkString("\n", "\nUNION ALL\n", "")
+    },
+
+    "q44_dedup_clusters" -> {
+      val cos = OracleSqlGen.cosine("a.v", "b.v")
+      s"""WITH RECURSIVE e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, ${OracleSqlGen.signBucket("v", 4)} AS bkey FROM e),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkt a JOIN bkt b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.3
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id
+         |)
+         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    },
+
+    "q45_mic" -> {
+      val micCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rangeSel = micCols.zipWithIndex.map { case (c, i) =>
+        s"min($c) AS lo_$i, max($c) AS hi_$i"
+      }.mkString(", ")
+      def bucket(c: String, i: Int) =
+        s"CAST(CASE WHEN hi_$i <= lo_$i THEN 0.0 " +
+          s"ELSE least(floor(($c - lo_$i) / (hi_$i - lo_$i) * 4), 3.0) END AS INT)"
+      val bucketSel = micCols.zipWithIndex.map { case (c, i) =>
+        s"${bucket(c, i)} AS b_$i"
+      }.mkString(", ")
+      def pairBlock(i: Int, j: Int) =
+        s"""SELECT '${micCols(i)}' AS xi, '${micCols(j)}' AS xj,
+           |  round(sum(term) / ln(4.0), 6) AS mic
+           |FROM (
+           |  SELECT (CAST(c AS DOUBLE)/nn) *
+           |    ln(CAST(c AS DOUBLE)*nn/(CAST(r AS DOUBLE)*CAST(s AS DOUBLE))) AS term
+           |  FROM (
+           |    SELECT c,
+           |      sum(c) OVER (PARTITION BY bi) AS r,
+           |      sum(c) OVER (PARTITION BY bj) AS s
+           |    FROM (SELECT b_$i AS bi, b_$j AS bj, count(*) AS c
+           |          FROM bkt GROUP BY 1, 2)
+           |  ), nt
+           |)""".stripMargin
+      val blocks = (for {
+        i <- micCols.indices; j <- micCols.indices if i < j
+      } yield pairBlock(i, j)).mkString("\nUNION ALL\n")
+      s"""WITH rng AS (SELECT $rangeSel FROM lineitem),
+         |bkt AS (SELECT $bucketSel FROM lineitem, rng),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM lineitem)
+         |$blocks""".stripMargin
+    },
+
+    "q46_lsh_multiprobe" -> {
+      val cos = OracleSqlGen.cosine("q.v", "c.v")
+      val probeKeys = ("bkey" +: (0 until 6).map(p => s"xor(bkey, ${1L << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v, ${OracleSqlGen.signBucket("v", 6)} AS bkey FROM e),
+         |qk AS (SELECT vec_id, v, unnest($probeKeys) AS bkey
+         |       FROM bkt WHERE vec_id < 20),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, round($cos, 6) AS cos
+         |      FROM qk q JOIN bkt c ON q.bkey = c.bkey
+         |      WHERE q.vec_id <> c.vec_id)
+         |SELECT qid, cid, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM p)
+         |WHERE rank <= 3""".stripMargin
+    },
+
     "q26_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
@@ -902,6 +1082,52 @@ object SparkEntry {
          |WHERE rank <= 3""".stripMargin
     },
 
+    "q25_ego_rank" ->
+      """WITH bi AS (SELECT unnest(range(8)) AS b),
+        |src AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+        |    l_orderkey * 8 + l_linenumber AS rk
+        |  FROM lineitem
+        |), w AS (
+        |  SELECT b, x, y,
+        |    CASE WHEN u < 0.368 THEN 0 WHEN u < 0.736 THEN 1 ELSE 2 END AS w
+        |  FROM (SELECT b, x, y,
+        |          CAST((rk * 1103515245 + 40503 * b + 12345) % 2147483648
+        |            AS DOUBLE) / 2147483648.0 AS u
+        |        FROM src, bi)
+        |), s AS (
+        |  SELECT b,
+        |    CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS sw,
+        |    CAST(CAST(sum(w*x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(w*x*x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(w*y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(w*x*y) AS BIGINT) AS DOUBLE) AS sxy
+        |  FROM w GROUP BY b
+        |), beta AS (
+        |  SELECT b,
+        |    ((sw + 1e-8) * sxy - sx * sy)
+        |      / ((sxx + 1e-8) * (sw + 1e-8) - sx * sx) AS b1,
+        |    ((sxx + 1e-8) * sy - sx * sxy)
+        |      / ((sxx + 1e-8) * (sw + 1e-8) - sx * sx) AS b0
+        |  FROM s
+        |), space AS (SELECT CAST(unnest(range(1, 61)) AS DOUBLE) AS x),
+        |preds AS (
+        |  SELECT x, list(x * b1 + b0 ORDER BY b) AS ps
+        |  FROM space, beta GROUP BY x
+        |), scored AS (
+        |  SELECT x,
+        |    list_reduce(list_prepend(0.0, ps), (a, p) -> a + p) / 8.0 AS mn,
+        |    list_reduce(list_prepend(0.0, list_transform(ps,
+        |      p -> CASE WHEN p > 6000000.0 THEN 1.0 ELSE 0.0 END)),
+        |      (a, q) -> a + q) / 8.0 AS pi
+        |  FROM preds
+        |)
+        |SELECT x, round(greatest(mn - 6000000.0, 0.0) * pi / 100.0, 2) AS ei
+        |FROM scored
+        |ORDER BY greatest(mn - 6000000.0, 0.0) * pi DESC, x ASC
+        |LIMIT 10""".stripMargin,
+
     "q41_time_rolling" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_10min,
@@ -911,14 +1137,18 @@ object SparkEntry {
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q35_multimodal" -> {
-      val bytes = "list_transform(range(1, len(text)+1), i -> ascii(substr(text, i, 1)))"
+      // folds the UTF-8 BYTES (not code points) — exactly what the Spark-side
+      // FakeDecoder does over the binary payload, valid beyond ASCII
+      val bytes = OracleSqlGen.utf8Bytes("text")
+      val nb = "octet_length(encode(text))"
       def f(j: Int) =
         s"round(CAST(len(list_filter($bytes, b -> b % 8 = $j)) AS DOUBLE) / " +
-          s"CAST(greatest(len(text), 1) AS DOUBLE), 6)"
+          s"CAST(greatest($nb, 1) AS DOUBLE), 6)"
       s"""SELECT doc_id AS asset_id,
          |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
-         |  CAST(len(text) AS BIGINT) AS n_bytes,
-         |  ${OracleSqlGen.poly("text")} AS checksum,
+         |  CAST($nb AS BIGINT) AS n_bytes,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), $bytes),
+         |    (a, b) -> (a*31 + b) % ${OracleSqlGen.M}) AS checksum,
          |  ${f(0)} AS f0,
          |  ${f(3)} AS f3
          |FROM documents""".stripMargin

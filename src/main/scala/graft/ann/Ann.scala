@@ -73,17 +73,33 @@ object Ann {
   }
 
   /** LSH-bucketed approximate top-k: candidates share a sign-bucket with the
-    * query; exact cosine rerank within candidates.
+    * query (plus optional multi-probe), exact cosine rerank within
+    * candidates.
+    *
+    * @param probes number of 1-bit-flip probe buckets per query (0 = exact
+    *               bucket only). Probing the `probes` nearest buckets
+    *               recovers neighbors that fall across a single hyperplane —
+    *               recall improves at the cost of `probes+1`× candidate
+    *               fan-out, still never a cross product. Probe keys are
+    *               distinct by construction (bkey ^ 2^p), so a candidate can
+    *               match at most one probe — no dedup pass needed.
     */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       planes: Int = 6,
-      roundTo: Int = 6
+      roundTo: Int = 6,
+      probes: Int = 0
   ): DataFrame = {
-    val q = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
+    require(probes <= planes, "cannot probe more bits than planes")
+    val q0 = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
       .withColumn("bkey", signBucket(col("qv"), planes))
+    val q =
+      if (probes <= 0) q0
+      else q0.select(col("qid"), col("qv"),
+        explode(array((col("bkey") +: (0 until probes).map(p =>
+          col("bkey").bitwiseXOR(lit(1L << p)))): _*)).as("bkey"))
     val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
       .withColumn("bkey", signBucket(col("cv"), planes))
     val scored = q.join(c, Seq("bkey"))

@@ -131,6 +131,10 @@ object Compiler {
       .otherwise(element_at(arr, 1))
     case "MDiv" => when(size(arr) === 2, element_at(arr, 1) / element_at(arr, 2))
       .otherwise(element_at(arr, 1))
+    // Conv swaps the two members of a k=2 group (identity otherwise) and
+    // stays ARRAY-typed — it reorders the group for a later reduce, e.g.
+    // MSub(Conv(g)) = g[2] − g[1] (npfunc.py:44-49, test_function.py:135-138)
+    case "Conv" => when(size(arr) === 2, reverse(arr)).otherwise(arr)
     case "Self" => element_at(arr, 1)
     case other  => throw new IllegalArgumentException(s"group op $other")
   }

@@ -30,15 +30,35 @@ object Scoring {
 
   final case class Fit(a: Double, b: Double, r2: Double, mse: Double, n: Long)
 
-  /** Score N candidate expressions in one pass. For each candidate, fits the
-    * outer linear coefficients A·f+B (the reference's add_coefficient outer
-    * pair, coefficient.py:172-269) by closed-form OLS from the same
-    * aggregation, then reports r2 of A·f+B vs y.
+  /** Upper bound on candidates per aggregation pass: 6·N+1 agg columns per
+    * pass, and Catalyst codegen/planning degrades past a few thousand
+    * expressions — at the reference's production population (pop=1000,
+    * find2.py:84-90) an unchunked batch would be 6001 agg columns. 128
+    * candidates = 769 aggs per pass, comfortably inside codegen limits.
+    */
+  val maxBatchChunk = 128
+
+  /** Score N candidate expressions. For each candidate, fits the outer
+    * linear coefficients A·f+B (the reference's add_coefficient outer pair,
+    * coefficient.py:172-269) by closed-form OLS from the same aggregation,
+    * then reports r2 of A·f+B vs y.
     *
-    * One select (N compiled columns) + one agg (6N sums) — whole-stage
-    * codegen'd, map-side combined.
+    * One select (chunk of compiled columns) + one agg (6·chunk sums) per
+    * [[maxBatchChunk]] candidates — whole-stage codegen'd, map-side
+    * combined; callers should persist `df` so multi-chunk batches scan the
+    * cached frame, not the source.
     */
   def scoreBatch(
+      df: DataFrame,
+      y: Column,
+      candidates: Seq[(String, Column)]
+  ): Map[String, Fit] =
+    if (candidates.size <= maxBatchChunk) scoreChunk(df, y, candidates)
+    else candidates.grouped(maxBatchChunk)
+      .map(chunk => scoreChunk(df, y, chunk))
+      .reduce(_ ++ _)
+
+  private def scoreChunk(
       df: DataFrame,
       y: Column,
       candidates: Seq[(String, Column)]

@@ -22,7 +22,10 @@ object Flagship {
   def ensureData(spark: SparkSession, base: String, nConvs: Long): (String, String) = {
     val tPath = s"$base/transcripts_$nConvs"
     val sPath = s"$base/snapshots_$nConvs"
-    if (!new java.io.File(tPath + "/_SUCCESS").exists()) {
+    // BOTH writes must have completed: a run killed between them would leave
+    // transcripts/_SUCCESS satisfied with snapshots missing/partial
+    def done(p: String) = new java.io.File(p + "/_SUCCESS").exists()
+    if (!done(tPath) || !done(sPath)) {
       val t = Transcripts.synthesize(spark, nConvs)
       t.write.mode("overwrite").parquet(tPath)
       Transcripts.snapshots(spark.read.parquet(tPath))

@@ -126,12 +126,13 @@ object GroupingSelection {
     * re-predicts per subset pair (ugs.py:404-441); here
     * ŷ_i'ŷ_j = β_i' G[cols_i, cols_j] β_j, so no data is touched at all.
     */
-  def predictionCorr(grams: FoldGrams, subsets: Seq[Seq[Int]]): Array[Array[Double]] = {
+  def predictionCorr(grams: FoldGrams, subsets: Seq[Seq[Int]],
+      ridge: Double = 0.0): Array[Array[Double]] = {
     val total = grams.folds.reduce(_ merge _)
     val p = total.m.rows
     val interceptIdx = p - 2
     val n = total.n.toDouble
-    val betas = subsets.map(s => GramCV.solve(total, s)).toArray
+    val betas = subsets.map(s => GramCV.solve(total, s, ridge)).toArray
     val cols = subsets.map(s => (s :+ interceptIdx).toArray).toArray
     def cross(i: Int, j: Int): Double = {
       var acc = 0.0
@@ -199,5 +200,130 @@ object GroupingSelection {
       val best = members.maxBy(penalized)
       Group(members, best, scores(best))
     }
+  }
+}
+
+/** UGS — union grouping selection across MULTIPLE base estimators
+  * (ugs.py:589-705): each estimator clusters the candidate feature subsets
+  * ("nodes") by prediction distance; the per-estimator groups are UNIONED
+  * into tournament groups; nodes are scored by the cross-estimator mean
+  * dampened by cross-estimator std and size-penalized; the best node per
+  * tournament group survives, deduped and ranked.
+  *
+  * Estimators here are ridge-λ variants solved on the SAME one-pass fold
+  * Grams (zero extra data passes — the multi-model axis costs only driver
+  * linear algebra).
+  */
+object UnionGrouping {
+
+  final case class Ranked(site: Int, score: Double)
+
+  /** cal_t_group (ugs.py:630-669): node i's tournament group is the union,
+    * over estimators, of every node co-clustered with i; DBSCAN noise
+    * contributes the singleton {i} (the reference appends singles).
+    */
+  def tournamentGroups(labelsPerEstimator: Seq[Array[Int]]): Seq[Seq[Int]] = {
+    val n = labelsPerEstimator.head.length
+    (0 until n).map { i =>
+      val members = scala.collection.mutable.SortedSet(i)
+      labelsPerEstimator.foreach { labels =>
+        if (labels(i) >= 0)
+          members ++= labels.indices.filter(j => labels(j) == labels(i))
+      }
+      members.toSeq
+    }
+  }
+
+  /** select_ugs (ugs.py:672-705): score = minmax(mean·(1−σ/σmax) −
+    * α(e^(m−2)+1)); per-group argmax, site-deduped, ranked desc.
+    */
+  def selectUgs(
+      groups: Seq[Seq[Int]],
+      scoresPerEstimator: Seq[Array[Double]],
+      sizes: Array[Int],
+      alpha: Double = 0.01
+  ): Seq[Ranked] = {
+    val n = sizes.length
+    val e = scoresPerEstimator.size.toDouble
+    val mean = Array.tabulate(n)(i => scoresPerEstimator.map(_(i)).sum / e)
+    val std = Array.tabulate(n) { i =>
+      val m = mean(i)
+      math.sqrt(scoresPerEstimator.map(s => (s(i) - m) * (s(i) - m)).sum / e)
+    }
+    val maxStd = math.max(std.max, 1e-12)
+    val raw = Array.tabulate(n)(i =>
+      mean(i) * (1.0 - std(i) / maxStd) - alpha * (math.exp(sizes(i) - 2.0) + 1.0))
+    val (lo, hi) = (raw.min, raw.max)
+    val scaled = raw.map(v => if (hi > lo) (v - lo) / (hi - lo) else 0.0)
+    groups.map(g => g.maxBy(i => (scaled(i), -i)))
+      .distinct
+      .map(i => Ranked(i, scaled(i)))
+      .sortBy(r => (-r.score, r.site))
+  }
+
+  /** Full multi-estimator UGS over fold Grams: per-λ clustering of the
+    * prediction-distance matrix, tournament-group union, consensus ranking.
+    */
+  def run(
+      grams: FoldGrams,
+      subsets: Seq[Seq[Int]],
+      ridges: Seq[Double],
+      alpha: Double = 0.01
+  ): Seq[Ranked] = {
+    require(ridges.size >= 2, "UGS needs >= 2 base estimators (ugs.py:624)")
+    // per-estimator distances: different λ → different predictions →
+    // different clusterings (the whole point of the union)
+    val dists = ridges.map(l => GroupingSelection.distanceFromCorr(
+      GroupingSelection.predictionCorr(grams, subsets, l)))
+    val labels = dists.map(d => GroupingSelection.cluster(d).labels)
+    val scores = ridges.map(l => subsets.map(s => grams.cvR2(s, l)).toArray)
+    selectUgs(tournamentGroups(labels), scores,
+      subsets.map(_.size).toArray, alpha)
+  }
+}
+
+/** SUM — consensus ranking of feature subsets across estimators by a
+  * distance-threshold sweep (sum.py:96-135): each estimator nominates its
+  * best node; a threshold grows from the global min to max prediction
+  * distance, and a node enters the consensus ranking at the first threshold
+  * where it is within distance of EVERY estimator's best node. (The
+  * reference's Kamada-Kawai layout variant is a networkx/scipy plotting aid
+  * over the same distances — visualization substrate, not reimplemented.)
+  */
+object SumConsensus {
+
+  def distanceSweep(
+      distPerEstimator: Seq[Array[Array[Double]]],
+      scoresPerEstimator: Seq[Array[Double]],
+      stepsPerNode: Int = 100
+  ): Seq[(Int, Double)] = {
+    val n = scoresPerEstimator.head.length
+    val best = scoresPerEstimator.map(s => s.indices.maxBy(i => (s(i), -i)))
+    val all = distPerEstimator.flatMap(_.toSeq.flatMap(_.toSeq))
+    val (lo, hi) = (all.min, all.max)
+    val steps = math.max(stepsPerNode * n, 2)
+    val rank = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val seen = scala.collection.mutable.Set.empty[Int]
+    for (k <- 0 until steps) {
+      val t = lo + (hi - lo) * k / (steps - 1).toDouble
+      val circle = (0 until n).filter(i =>
+        distPerEstimator.zip(best).forall { case (d, b) => d(i)(b) <= t })
+      for (i <- circle if !seen(i)) { seen += i; rank += ((i, t)) }
+    }
+    rank.toSeq
+  }
+
+  /** SUM over fold Grams with ridge-λ base estimators (distance = shared
+    * 1−|corr| of subset predictions; scores = per-λ CV R²).
+    */
+  def run(
+      grams: FoldGrams,
+      subsets: Seq[Seq[Int]],
+      ridges: Seq[Double]
+  ): Seq[(Int, Double)] = {
+    distanceSweep(
+      ridges.map(l => GroupingSelection.distanceFromCorr(
+        GroupingSelection.predictionCorr(grams, subsets, l))),
+      ridges.map(l => subsets.map(s => grams.cvR2(s, l)).toArray))
   }
 }

@@ -25,12 +25,21 @@ object Ego {
         spark.createDataFrame(vals.map(Tuple1(_))).toDF(name))
     }
 
+  /** Deterministic uniform in [0,1) for (rowKey, b) from the same LCG family
+    * as Ann.planeComponent — a closed form any SQL engine reproduces exactly
+    * (no engine-private hashes), so bootstrap fits are oracle-verifiable.
+    * rowKey must stay below ~8·10^9 (no long overflow in the multiply).
+    */
+  def bootUniform(rowKey: Column, b: Int): Column =
+    pmod(rowKey * lit(1103515245L) + lit(40503L * b + 12345L), lit(1L << 31))
+      .cast("double") / lit((1L << 31).toDouble)
+
   /** Deterministic Poisson(1)-ish bootstrap weight for (rowKey, b):
-    * P(0)=1/e≈.368, P(1)=.368, P(2+)≈.264 approximated by thirds-ish split
-    * on a 64-bit hash — deterministic at any parallelism.
+    * P(0)=1/e≈.368, P(1)=.368, P(2+)≈.264 approximated by a thirds-ish split
+    * on the LCG uniform — deterministic at any parallelism.
     */
   private def bootWeight(rowKey: Column, b: Int): Column = {
-    val u = pmod(xxhash64(rowKey, lit(b)), lit(1000L)).cast("double") / 1000.0
+    val u = bootUniform(rowKey, b)
     when(u < 0.368, lit(0.0)).when(u < 0.736, lit(1.0)).otherwise(lit(2.0))
   }
 
@@ -65,6 +74,53 @@ object Ego {
       inv(m) * v
     }.toArray
     Model(betas, features)
+  }
+
+  /** Single-feature bootstrap fit with EXACT integer sufficient statistics —
+    * the fully oracle-verifiable EGO path. `x` must be integer-valued and
+    * `yInt` pre-quantized to an integer scale (e.g. cents); all B weighted
+    * sums are then longs (order-free, identical on any engine), and the
+    * closed-form ridge 2×2 solve below runs the exact IEEE op sequence the
+    * SQL oracle spells out — bit-identical betas, so downstream EI values
+    * match across engines without tolerance games.
+    */
+  def fitBootstrapExact(
+      train: DataFrame,
+      featureName: String,
+      x: Column,
+      yInt: Column,
+      rowKey: Column,
+      b: Int = 8,
+      ridge: Double = 1e-8
+  ): Model = {
+    val base = train.select(
+      x.cast("long").as("__x"), yInt.cast("long").as("__y"),
+      rowKey.cast("long").as("__rk"))
+    val aggs = (0 until b).flatMap { bi =>
+      val u = bootUniform(col("__rk"), bi)
+      val w = when(u < 0.368, lit(0L)).when(u < 0.736, lit(1L)).otherwise(lit(2L))
+      val (xx, yy) = (col("__x"), col("__y"))
+      Seq(
+        sum(w).as(s"sw_$bi"),
+        sum(w * xx).as(s"sx_$bi"),
+        sum(w * xx * xx).as(s"sxx_$bi"),
+        sum(w * yy).as(s"sy_$bi"),
+        sum(w * xx * yy).as(s"sxy_$bi"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val betas = (0 until b).map { bi =>
+      val sw = row.getAs[Long](s"sw_$bi").toDouble
+      val sx = row.getAs[Long](s"sx_$bi").toDouble
+      val sxx = row.getAs[Long](s"sxx_$bi").toDouble
+      val sy = row.getAs[Long](s"sy_$bi").toDouble
+      val sxy = row.getAs[Long](s"sxy_$bi").toDouble
+      // EXACT op sequence mirrored by the oracle SQL — do not reorder
+      val det = (sxx + ridge) * (sw + ridge) - sx * sx
+      val b1 = ((sw + ridge) * sxy - sx * sy) / det
+      val b0 = ((sxx + ridge) * sy - sx * sxy) / det
+      DenseVector(b1, b0)
+    }.toArray
+    Model(betas, Seq(featureName))
   }
 
   /** EI ranking over the search space: for each candidate row, evaluate all

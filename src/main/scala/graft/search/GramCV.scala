@@ -29,13 +29,15 @@ final case class FoldGrams(
 
   /** CV R² of OLS on the given feature-index subset (train = all−fold,
     * test = fold), mean over folds. Mirrors calculate_cv_score
-    * (scores.py:157-277) with shuffle=False determinism.
+    * (scores.py:157-277) with shuffle=False determinism. `ridge` > 0 turns
+    * the fit into ridge regression on the same Grams — the "different base
+    * estimator" axis that multi-model UGS/SUM compose over.
     */
-  def cvR2(subset: Seq[Int]): Double = {
+  def cvR2(subset: Seq[Int], ridge: Double = 0.0): Double = {
     val scores = folds.map { test =>
       val train = total diff test
       try {
-        val beta = GramCV.solve(train, subset)
+        val beta = GramCV.solve(train, subset, ridge)
         GramCV.r2(test, subset, beta)
       } catch { case _: Throwable => Scoring.worst }
     }
@@ -110,15 +112,17 @@ object GramCV {
     FoldGrams(features, folds)
   }
 
-  /** OLS solve on the subset (+ intercept): beta = (X'X)⁻¹ X'y from Gram
-    * sub-blocks. subset holds feature indices into `features`.
+  /** OLS / ridge solve on the subset (+ intercept): beta = (X'X + λI)⁻¹ X'y
+    * from Gram sub-blocks (λ is not applied to the intercept slot). subset
+    * holds feature indices into `features`.
     */
-  def solve(g: Gram, subset: Seq[Int]): DenseVector[Double] = {
+  def solve(g: Gram, subset: Seq[Int], ridge: Double = 0.0): DenseVector[Double] = {
     val p = g.m.rows
     val cols = (subset :+ (p - 2)).toArray // + intercept column
     val yIdx = p - 1
     val xtx = DenseMatrix.tabulate(cols.length, cols.length)((i, j) =>
-      g.m(cols(i), cols(j)))
+      g.m(cols(i), cols(j)) +
+        (if (i == j && i < subset.length) ridge else 0.0))
     val xty = DenseVector.tabulate(cols.length)(i => g.m(cols(i), yIdx))
     inv(xtx) * xty
   }

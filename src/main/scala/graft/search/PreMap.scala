@@ -67,6 +67,24 @@ final class PreMap private (val m: Array[Array[Double]]) {
   }
 
   def rowSum(i: Int): Double = m(i).sum
+
+  /** Grow the matrix for one freshly-added terminal (the reference's
+    * `premap.add_new()` after `add_tree_to_features`, base.py:744): the new
+    * terminal gets a uniform row; every old row donates proportionally so
+    * its sum stays conserved (old off-diag mass × n−1/n + 1/n = 1).
+    */
+  def addNew(): PreMap = {
+    val g = Array.fill(n + 1, n + 1)(0.0)
+    for (i <- 0 until n) {
+      val s = m(i).sum
+      // old rows donate 1/(n+1) of their mass to the new terminal's column,
+      // everything else scales by n/(n+1): row sum conserved exactly
+      for (j <- 0 until n if j != i) g(i)(j) = m(i)(j) * n / (n + 1.0)
+      g(i)(n) = s / (n + 1.0)
+    }
+    for (j <- 0 until n) g(n)(j) = 1.0 / n // new row: uniform
+    new PreMap(g)
+  }
 }
 
 object PreMap {

@@ -34,7 +34,9 @@ object SymbolicSearch {
       requireDimless: Boolean = false,
       plateau: Int = 15,
       usePreMap: Boolean = false, // probability-guided terminal co-selection
-      preMapRate: Double = 0.1
+      preMapRate: Double = 0.1,
+      initFull: Boolean = true, // ramped half-and-half (grow/full mix, gp.py:159-206)
+      reTree: Int = 0 // elite-subtree re-add width (flow.py:274-286); 0 = off
   )
 
   final case class Individual(expr: FeatureExpr, score: Double, fit: Scoring.Fit)
@@ -45,26 +47,31 @@ object SymbolicSearch {
   final case class GenStats(gen: Int, best: Double, mean: Double, nValid: Int)
 
   final case class Result(hall: Seq[Individual], generations: Int,
-      logbook: Seq[GenStats] = Nil) {
+      logbook: Seq[GenStats] = Nil,
+      registry: Registry = Registry(Map.empty)) {
     def best: Individual = hall.head
   }
 
   private val unaryOps = Vector("neg", "abs", "sqrt", "ln", "pow2")
   private val binaryOps = Vector("+", "-", "*", "/")
 
-  /** genGrow (gp.py:69-206): probability-weighted random tree. When a
-    * [[PreMap]] is supplied, terminal choice after the first is biased by
-    * the preference matrix (the reference's premap-guided generation,
-    * preference.py:244-264).
+  /** genGrow (gp.py:162-177): probability-weighted random tree; leaves may
+    * sit at different depths. When a [[PreMap]] is supplied, terminal choice
+    * after the first is biased by the preference matrix (the reference's
+    * premap-guided generation, preference.py:244-264). `namesOverride` lets
+    * the GP loop generate over a terminal list that has grown via elite
+    * re-add without re-sorting (index-stable for the premap).
     */
   def grow(rnd: Random, reg: Registry, maxH: Int,
-      premap: Option[PreMap] = None): FeatureExpr = {
-    val names = reg.names
+      premap: Option[PreMap] = None,
+      namesOverride: Option[Seq[String]] = None): FeatureExpr = {
+    val names = namesOverride.getOrElse(reg.names)
     var lastTerminal = -1
     def leaf(): FeatureExpr = {
       val idx = premap match {
-        case Some(pm) if lastTerminal >= 0 => pm.samplePartner(lastTerminal, rnd)
-        case _                             => rnd.nextInt(names.size)
+        case Some(pm) if lastTerminal >= 0 && pm.n == names.size =>
+          pm.samplePartner(lastTerminal, rnd)
+        case _ => rnd.nextInt(names.size)
       }
       lastTerminal = idx
       Terminal(names(idx))
@@ -76,6 +83,30 @@ object SymbolicSearch {
         case _ => Binary(binaryOps(rnd.nextInt(binaryOps.size)), go(h - 1), go(h - 1))
       }
     go(maxH)
+  }
+
+  /** genFull (gp.py:189-206): every leaf at exactly depth `h`. The grow/full
+    * mix ("ramped half-and-half") is what keeps early GP populations
+    * structurally diverse.
+    */
+  def full(rnd: Random, names: Seq[String], h: Int): FeatureExpr =
+    if (h <= 0) Terminal(names(rnd.nextInt(names.size)))
+    else rnd.nextInt(3) match {
+      case 0 => Unary(unaryOps(rnd.nextInt(unaryOps.size)), full(rnd, names, h - 1))
+      case _ => Binary(binaryOps(rnd.nextInt(binaryOps.size)),
+        full(rnd, names, h - 1), full(rnd, names, h - 1))
+    }
+
+  /** depart (gp.py:180-187, adapted to this ADT's smaller trees): the proper
+    * subtrees of an elite that are worth re-adding as derived terminals —
+    * at least one operator (size ≥ 3) and ≥ 2 terminal slots; deduped by
+    * rendering.
+    */
+  def depart(e: FeatureExpr): Seq[FeatureExpr] = {
+    val subs = (1 until e.size).map(i => subtreeAt(e, i))
+      .filter(s => s.size >= 3 && s.terminals.size >= 2)
+    subs.foldLeft(Vector.empty[FeatureExpr])((acc, s) =>
+      if (acc.exists(_.render == s.render)) acc else acc :+ s)
   }
 
   /** selKbestDim (gp.py:497-545): top-k individuals whose expression
@@ -137,9 +168,10 @@ object SymbolicSearch {
 
   /** mutUniform: replace a random subtree with a freshly grown one. */
   def mutate(rnd: Random, reg: Registry, e: FeatureExpr, maxH: Int,
-      premap: Option[PreMap] = None): FeatureExpr = {
+      premap: Option[PreMap] = None,
+      namesOverride: Option[Seq[String]] = None): FeatureExpr = {
     val i = rnd.nextInt(nodes(e))
-    replaceAt(e, i, grow(rnd, reg, math.max(1, maxH - 2), premap))
+    replaceAt(e, i, grow(rnd, reg, math.max(1, maxH - 2), premap, namesOverride))
   }
 
   /** mutShrink (gp.py:269-): collapse a random internal node to one of its
@@ -165,6 +197,50 @@ object SymbolicSearch {
     }
   }
 
+  /** Preorder node indices (the same indexing as subtreeAt/replaceAt) of
+    * every terminal, with its name.
+    */
+  private def terminalSites(e: FeatureExpr): Vector[(Int, String)] = {
+    val out = Vector.newBuilder[(Int, String)]
+    var i = -1
+    def go(n: FeatureExpr): Unit = {
+      i += 1
+      n match {
+        case Terminal(nm)      => out += ((i, nm))
+        case Unary(_, c)       => go(c)
+        case Binary(_, l, r)   => go(l); go(r)
+        case GroupReduce(_, c) => go(c)
+        case GroupMap(_, c)    => go(c)
+        case _                 =>
+      }
+    }
+    go(e)
+    out.result()
+  }
+
+  /** mutDifferentReplacementVerbose (gp.py:368-443): diversify duplicated
+    * terminals — for every terminal appearing ≥ 2 times, one random
+    * occurrence is replaced by a terminal drawn from the NOT-duplicated set
+    * (sorted for seeded determinism; without replacement when enough fresh
+    * names exist). Trees with < 4 nodes are returned unchanged.
+    */
+  def mutDifferentReplacement(rnd: Random, names: Seq[String], e: FeatureExpr): FeatureExpr = {
+    if (e.size < 4) return e
+    val dup = e.terminals.groupBy(identity).collect {
+      case (n, occ) if occ.size >= 2 => n
+    }.toSeq.sorted
+    val fresh = names.filterNot(dup.contains).sorted
+    if (dup.isEmpty || fresh.isEmpty) return e
+    val replacements =
+      if (dup.size <= fresh.size) rnd.shuffle(fresh.toList).take(dup.size)
+      else List.fill(dup.size)(fresh(rnd.nextInt(fresh.size)))
+    dup.zip(replacements).foldLeft(e) { case (cur, (name, repl)) =>
+      val sites = terminalSites(cur).filter(_._2 == name)
+      if (sites.isEmpty) cur
+      else replaceAt(cur, sites(rnd.nextInt(sites.size))._1, Terminal(repl))
+    }
+  }
+
   /** staticLimit: reject offspring exceeding the height bound — revert to
     * parent (gp.py:243-261).
     */
@@ -174,10 +250,20 @@ object SymbolicSearch {
   def fit(df: DataFrame, reg: Registry, y: Column, cfg: Config = Config()): Result = {
     val rnd = new Random(cfg.seed)
     val cached = df.persist()
-    val premap = if (cfg.usePreMap) Some(PreMap.uniform(reg.names.size)) else None
-    val nameIdx = reg.names.zipWithIndex.toMap
+    // the registry and terminal list GROW when elite re-add is on: derived
+    // terminals append at the end so premap/terminal indices stay stable
+    var curReg = reg
+    var curNames: Vector[String] = reg.names.toVector
+    var premap = if (cfg.usePreMap) Some(PreMap.uniform(curNames.size)) else None
     try {
-      var pop = Vector.fill(cfg.popSize)(grow(rnd, reg, cfg.maxHeight, premap))
+      // ramped half-and-half init (gp.py:159-206 grow/full mix): heights
+      // cycle 1..maxHeight, odd slots full, even slots grow
+      var pop = Vector.tabulate(cfg.popSize) { i =>
+        val h = 1 + i % cfg.maxHeight
+        if (cfg.initFull && i % 2 == 1) full(rnd, curNames, h)
+        else grow(rnd, curReg, if (cfg.initFull) h else cfg.maxHeight,
+          premap, Some(curNames))
+      }
       var hall = Vector.empty[Individual]
       var gen = 0
       var stop = false
@@ -187,14 +273,14 @@ object SymbolicSearch {
         gen += 1
         // dim typecheck prunes before any Spark work
         val typed = pop.map { e =>
-          val d = Compiler.dimOf(e, reg)
+          val d = Compiler.dimOf(e, curReg)
           val ok = !d.isNan && (!cfg.requireDimless || d.isDless)
           (e, ok)
         }
         val named = typed.zipWithIndex.collect {
           case ((e, true), i) => (s"c_$i", e)
         }
-        val compiled = named.map { case (n, e) => n -> Compiler.compile(e, reg) }
+        val compiled = named.map { case (n, e) => n -> Compiler.compile(e, curReg) }
         val scores: Map[String, Scoring.Fit] =
           if (compiled.isEmpty) Map.empty
           else Scoring.scoreBatch(cached, y, compiled)
@@ -215,9 +301,29 @@ object SymbolicSearch {
         if (hall.head.score >= cfg.stopAt) stop = true
         // premap online update from elites (flow.py:331-333)
         premap.foreach { pm =>
+          val nameIdx = curNames.zipWithIndex.toMap
           hall.take(3).foreach { elite =>
             pm.update(elite.expr.terminals.distinct.flatMap(nameIdx.get),
               cfg.preMapRate, rnd)
+          }
+        }
+        // elite-subtree re-add (re_add, flow.py:274-286 + base.py:695-751):
+        // a random hall elite is departed into subtrees; one of the first
+        // reTree candidates becomes a NEW TERMINAL (named by its rendering,
+        // registered with its compiled column + propagated dim) — how the
+        // reference builds deep features from shallow searches
+        if (cfg.reTree > 0 && hall.nonEmpty && !stop && gen < cfg.nGen) {
+          val elite = hall(rnd.nextInt(hall.size)).expr
+          val cands = depart(elite).filter { s =>
+            !curNames.contains(s.render) && !Compiler.dimOf(s, curReg).isNan
+          }
+          if (cands.nonEmpty) {
+            val pick = cands(rnd.nextInt(math.min(cfg.reTree, cands.size)))
+            val nm = pick.render
+            curReg = curReg.withDerived(nm,
+              Compiler.compile(pick, curReg), Compiler.dimOf(pick, curReg))
+            curNames :+= nm
+            premap = premap.map(_.addNew())
           }
         }
         recent.enqueue(hall.head.score)
@@ -241,11 +347,12 @@ object SymbolicSearch {
           pop = crossed.map { ind =>
             if (rnd.nextDouble() < cfg.mutPb) {
               // mutation suite (MutilMutateLoop analog): uniform / shrink /
-              // node-replacement chosen at random
-              val mutated = rnd.nextInt(3) match {
-                case 0 => mutate(rnd, reg, ind, cfg.maxHeight, premap)
+              // node-replacement / duplicate-terminal diversification
+              val mutated = rnd.nextInt(4) match {
+                case 0 => mutate(rnd, curReg, ind, cfg.maxHeight, premap, Some(curNames))
                 case 1 => mutShrink(rnd, ind)
-                case _ => mutNode(rnd, ind)
+                case 2 => mutNode(rnd, ind)
+                case _ => mutDifferentReplacement(rnd, curNames, ind)
               }
               limited(mutated, ind, cfg.maxHeight)
             } else ind
@@ -254,7 +361,9 @@ object SymbolicSearch {
           pop = pop.updated(0, hall.head.expr)
         }
       }
-      Result(hall, gen, logbook.result())
+      // the (possibly grown) registry rides along so predictCol can compile
+      // hall expressions that reference derived terminals
+      Result(hall, gen, logbook.result(), curReg)
     } finally { cached.unpersist() }
   }
 

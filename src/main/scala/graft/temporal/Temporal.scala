@@ -69,8 +69,10 @@ object AsOf {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // left AFTER right at equal ts => inclusive
+      // long, not int: tiebreaks are event/turn ids — at 10^12-turn scale an
+      // int cast would CAST_OVERFLOW under ANSI mode
       .withColumn("__tie",
-        leftTie.map(c => col(c).cast("int")).getOrElse(lit(Int.MaxValue)))
+        leftTie.map(c => col(c).cast("long")).getOrElse(lit(Long.MaxValue)))
       .withColumn("__payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
 
@@ -78,7 +80,7 @@ object AsOf {
       .select((col(key).as(key) +: Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
-        col(tiebreak).cast("int").as("__tie"),
+        col(tiebreak).cast("long").as("__tie"),
         payloadStruct.as("__payload")
       )) ++ leftCols.filterNot(_ == key).map(c => lit(null).cast(
         left.schema(c).dataType).as(c)): _*)
@@ -149,12 +151,12 @@ object AsOf {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(Int.MaxValue))
+      .withColumn("__tie", lit(Long.MaxValue))
       .withColumn("__payload", lit(null).cast(payloadType))
     val r = right.select((col(key) +: Seq(
       col(rightTs).as("__ts"),
       lit(0).as("__side"),
-      col(tiebreak).cast("int").as("__tie"),
+      col(tiebreak).cast("long").as("__tie"),
       payloadStruct.as("__payload")
     )) ++ leftCols.filterNot(_ == key).map(c =>
       lit(null).cast(left.schema(c).dataType).as(c)): _*)

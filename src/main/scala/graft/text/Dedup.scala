@@ -19,12 +19,80 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Memoize an expensive per-doc prep frame that downstream self-joins and
+    * payload re-fetches would otherwise recompute 3-4×. MEMORY_AND_DISK
+    * persist keeps lineage intact (an executor loss recomputes the lost
+    * partitions — unlike localCheckpoint, which kills the job on a real
+    * cluster); the caching effect is identical in-session.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact dedup: keep the row with the smallest `idCol` per distinct
     * `textCol`. Digest-keyed shuffle; returns kept ids + group sizes.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Resolve near-dup pairs into clusters — the step every production dedup
+    * pipeline needs after pair generation: connected components over the
+    * pair graph, labeling each doc with the SMALLEST id in its component
+    * (the canonical keeper; `keep = id == cluster_id`).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping. Each
+    * round (a) every node takes the min of its own label and its neighbors'
+    * labels (one equi-join + groupBy), then (b) labels compress one pointer
+    * hop (label := label(label)). Converges in O(log n) rounds on typical
+    * dup graphs (pointer jumping halves chain lengths); each round is a
+    * constant number of hash shuffles on (id, label) pairs — never the
+    * payloads — so the op scales to billion-edge pair sets.
+    */
+  def resolveClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxRounds: Int = 30
+  ): DataFrame = {
+    // Iterative self-referential plans MUST truncate lineage each round or
+    // the logical plan doubles per iteration (the pointer jump references
+    // the previous round twice) and analysis alone OOMs the driver. Reliable
+    // checkpoint when a checkpoint dir is configured (the cluster setup —
+    // survives executor loss, GraphX-style); localCheckpoint otherwise.
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val edges = materialize(
+      pairs.select(col(idA).as("a"), col(idB).as("b"))
+        .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+        .distinct())
+    var labels = truncated(
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      // (a) neighbor-min
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // (b) pointer jump: label := label(label)
+      val jumped = truncated(step
+        .join(step.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label")))
+      changed = jumped.select(col("id"), col("label").as("new_label"))
+        .join(labels, Seq("id"))
+        .where(col("new_label") =!= col("label")).count()
+      labels = jumped
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 
   /** Candidate near-dup pairs via MinHash + LSH banding, verified with the
     * exact n-gram Jaccard of the pair. Returns (id_a, id_b, jaccard) with
@@ -52,7 +120,7 @@ object Dedup {
       // materialize the per-doc prep once: the self-join + payload re-fetch
       // would otherwise recompute shingling/minhashing 4x (the operator-level
       // analog of the reference's lru_cache memoization, ugs.py:265)
-      .localCheckpoint(false)
+      .transform(materialize)
     val buckets = withSig
       .select(col("id"), col("sh"), explode(col("bkeys")).as("bkey"))
     // prune degenerate buckets before the quadratic step
@@ -150,7 +218,7 @@ object Dedup {
       .where(col("sz") > 0)
       // materialized once: reused by the frequency pass, the prefix join
       // (both sides) and the verification payload re-fetch (both sides)
-      .localCheckpoint(false)
+      .transform(materialize)
     val long = prepped.select(col("id"), col("blk"), col("sz"),
       explode(col("sh")).as("shingle"))
     val freq = long.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

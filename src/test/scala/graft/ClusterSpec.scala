@@ -40,7 +40,7 @@ class ClusterSpec extends GraftSuite {
     val res = GroupingSelection.cluster(
       GroupingSelection.distanceFromCorr(corr))
     assert(res.labels(0) == res.labels(1)) // x0-model with x1-model
-    val scores = subsets.map(grams.cvR2).toArray
+    val scores = subsets.map(s => grams.cvR2(s)).toArray
     val groups = GroupingSelection.selectPerGroup(
       res.labels, scores, subsets.map(_.size).toArray)
     assert(groups.nonEmpty)

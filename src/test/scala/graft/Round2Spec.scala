@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.expr._
+import graft.search.{BackForward, Corr, GramCV, PreMap, SumConsensus, SymbolicSearch, UnionGrouping}
+
+/** Round-2 operators: Conv group op, genFull/ramped init, duplicate-terminal
+  * mutation, elite-subtree re-add, scoreBatch chunking, BackForward tolerance
+  * semantics, MIC (binned MI) + shrink_coef, dedup cluster resolution, LSH
+  * multi-probe, UGS union + SUM consensus.
+  */
+class Round2Spec extends GraftSuite {
+  import spark.implicits._
+
+  test("Conv group op: k=2 swap, identity otherwise (test_function.py:135-138)") {
+    val df = Seq((Seq(3.0, 7.0), Seq(1.0, 2.0, 4.0))).toDF("g2", "g3")
+    val reg = Registry(
+      terminals = Map.empty,
+      groups = Map(
+        "g2" -> (col("g2"), Dim.dless, 2),
+        "g3" -> (col("g3"), Dim.dless, 3)))
+    // MSub(Conv(g2)) = g2[2] - g2[1]
+    val e = GroupReduce("MSub", GroupReduce("Conv", Terminal("g2")))
+    val got = df.select(Compiler.compile(e, reg).as("v")).as[Double].head()
+    assert(got == 7.0 - 3.0)
+    // Conv on k=3 is identity: MAdd unchanged
+    val e3 = GroupReduce("MAdd", GroupReduce("Conv", Terminal("g3")))
+    assert(df.select(Compiler.compile(e3, reg).as("v")).as[Double].head() == 7.0)
+    // dim propagation unchanged by Conv
+    assert(Compiler.dimOf(GroupReduce("Conv", Terminal("g2")), reg) == Dim.dless)
+  }
+
+  test("genFull puts every leaf at exactly the requested depth") {
+    val rnd = new Random(7)
+    val names = Seq("x0", "x1", "x2")
+    for (h <- 1 to 4; _ <- 1 to 10) {
+      val e = SymbolicSearch.full(rnd, names, h)
+      assert(e.height == h, s"full($h) produced height ${e.height}")
+    }
+  }
+
+  test("depart: proper subtrees with >= 1 operator and >= 2 terminal slots") {
+    val e = Binary("*", Binary("+", Terminal("x0"), Terminal("x1")),
+      Unary("pow2", Terminal("x2")))
+    val subs = SymbolicSearch.depart(e)
+    val renders = subs.map(_.render)
+    assert(renders.contains("(x0 + x1)"))
+    assert(!renders.contains(e.render)) // proper subtrees only
+    assert(!renders.exists(_ == "x0")) // bare terminals excluded
+    assert(!renders.contains("pow2(x2)")) // single terminal slot excluded
+  }
+
+  test("mutDifferentReplacement diversifies duplicated terminals") {
+    val rnd = new Random(1)
+    val names = Seq("x0", "x1", "x2", "x3")
+    val e = Binary("+", Binary("*", Terminal("x0"), Terminal("x0")), Terminal("x0"))
+    val mutated = SymbolicSearch.mutDifferentReplacement(rnd, names, e)
+    assert(mutated.size == e.size) // structure preserved
+    val ters = mutated.terminals
+    assert(ters.exists(_ != "x0"), s"no diversification: $ters")
+    // small trees untouched (gp.py guard len < 4)
+    val tiny = Binary("+", Terminal("x0"), Terminal("x0"))
+    assert(SymbolicSearch.mutDifferentReplacement(rnd, names, tiny) == tiny)
+    // no duplicates -> untouched
+    val nodup = Binary("+", Terminal("x0"), Unary("pow2", Terminal("x1")))
+    assert(SymbolicSearch.mutDifferentReplacement(rnd, names, nodup) == nodup)
+  }
+
+  test("elite-subtree re-add: departed subtree registers, compiles, evaluates " +
+    "(test_symbol_base.py:76-87 analog)") {
+    // direct mechanics: depart an elite, withDerived-register the subtree,
+    // compile the derived terminal and check it equals the subtree's value
+    val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("x0", "x1", "x2")
+    val reg0 = Registry(terminals = Map(
+      "x0" -> (col("x0"), Dim.dless),
+      "x1" -> (col("x1"), Dim.dless),
+      "x2" -> (col("x2"), Dim.dless)))
+    val elite = Binary("*", Binary("+", Terminal("x0"), Terminal("x1")), Terminal("x2"))
+    val sub = SymbolicSearch.depart(elite).head
+    val reg1 = reg0.withDerived(sub.render,
+      Compiler.compile(sub, reg0), Compiler.dimOf(sub, reg0))
+    val viaDerived = df.select(
+      Compiler.compile(Terminal(sub.render), reg1).as("v")).as[Double].collect()
+    val direct = df.select(
+      Compiler.compile(sub, reg0).as("v")).as[Double].collect()
+    assert(viaDerived.sameElements(direct))
+
+    // end-to-end: a GP run with reTree > 0 grows its registry
+    val rnd = new Random(2)
+    val rows = (1 to 150).map { _ =>
+      val a = 1.0 + rnd.nextDouble(); val b = 1.0 + rnd.nextDouble()
+      val c = 1.0 + rnd.nextDouble()
+      (a, b, c, (a + b) * c)
+    }
+    val data = rows.toDF("x0", "x1", "x2", "y")
+    val res = SymbolicSearch.fit(data, reg0, col("y"),
+      SymbolicSearch.Config(popSize = 24, nGen = 4, maxHeight = 3, reTree = 2, seed = 9))
+    assert(res.registry.terminals.size > reg0.terminals.size,
+      "re-add never registered a derived terminal")
+    // every hall expression compiles under the returned registry
+    res.hall.foreach(h => Compiler.compile(h.expr, res.registry))
+  }
+
+  test("scoreBatch chunks: 1000 candidates score without codegen blowup " +
+    "(reference production shape find2.py:84-90)") {
+    val df = spark.range(200)
+      .select(col("id").cast("double").as("x"),
+        (col("id").cast("double") * 2.0 + 3.0).as("y"))
+      .persist()
+    try {
+      val cands = (0 until 1000).map(i => s"c_$i" -> (col("x") + lit(i.toDouble)))
+      val fits = Scoring.scoreBatch(df, col("y"), cands)
+      assert(fits.size == 1000)
+      // every shifted-linear candidate fits y exactly under A·f+B
+      assert(fits.values.forall(f => approx(f.r2, 1.0, 1e-9)))
+      assert(fits.values.forall(_.n == 200))
+    } finally df.unpersist()
+  }
+
+  test("BackForward accepts within-tolerance drops (backforward.py:117-133)") {
+    val rnd = new Random(33)
+    val rows = (1 to 300).map { _ =>
+      val x0 = rnd.nextDouble(); val x1 = rnd.nextDouble()
+      (x0, x1, x0 + 0.001 * x1 + rnd.nextGaussian() * 1e-6)
+    }
+    val df = rows.toDF("x0", "x1", "y")
+    val grams = GramCV.fit(df, Seq("x0", "x1"), "y", 3,
+      Seq(col("x0"))) // deterministic fold hash of x0
+    // x1 contributes ~1e-6 of R²: a tolerance-accepting backward sweep MUST
+    // drop it; the old strict-improvement guard kept it forever
+    val (subset, score) = BackForward.search(grams, seed = 0L, tolerance = 0.01)
+    assert(subset == Seq(0), s"expected within-tolerance drop of x1, got $subset")
+    assert(score > 0.99)
+  }
+
+  test("removeCoef traverses the seeded shuffle order (corr.py:149-182)") {
+    // two perfectly correlated features: which one survives depends on the
+    // seed — and both outcomes are reachable (the seed is live, not inert)
+    val m = Array(
+      Array(1.0, 0.99, 0.0),
+      Array(0.99, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val survivors = (0L until 16L).map(s => Corr.removeCoef(m, 0.95, s)).distinct
+    assert(survivors.forall(k => k.size == 2 && k.contains(2)))
+    assert(survivors.toSet == Set(Seq(0, 2), Seq(1, 2)),
+      s"seed must select the cluster survivor: $survivors")
+  }
+
+  test("shrinkCoef collapses coupled-column groups (corr.py:75-102)") {
+    // cols: 0 single, {1,2} one group of grade 2, 3 single
+    val m = Array(
+      Array(1.0, 0.2, 0.4, 0.6),
+      Array(0.2, 1.0, 0.9, 0.1),
+      Array(0.4, 0.9, 1.0, 0.3),
+      Array(0.6, 0.1, 0.3, 1.0))
+    val mean = Corr.shrinkCoef(m, 2, (1, 3), "mean")
+    // offset submatrices use indices [0,1,3] and [0,2,3]
+    assert(mean.length == 3)
+    assert(approx(mean(0)(1), (m(0)(1) + m(0)(2)) / 2)) // 0 vs group
+    assert(approx(mean(0)(2), m(0)(3))) // 0 vs 3 unchanged
+    assert(approx(mean(1)(2), (m(1)(3) + m(2)(3)) / 2)) // group vs 3
+    val mx = Corr.shrinkCoef(m, 2, (1, 3), "max")
+    assert(approx(mx(0)(1), math.max(m(0)(1), m(0)(2))))
+  }
+
+  test("binned MI: exact hand-computed grid (perfect dependence vs independence)") {
+    // a == b (MI = ln 2); c independent of a (MI = 0 exactly by construction)
+    val rows = (0 until 100).map { i =>
+      val a = (i % 2).toDouble
+      val c = (if (i % 4 < 2) 0 else 1).toDouble
+      (a, a, c)
+    }
+    val df = rows.toDF("a", "b", "c")
+    val mi = Corr.binnedMI(df, Seq("a", "b", "c"), bins = 2)
+    assert(approx(mi(0)(1), math.log(2.0)))
+    assert(approx(mi(0)(2), 0.0, 1e-12))
+    val mic = Corr.micMatrix(df, Seq("a", "b", "c"), bins = 2)
+    assert(approx(mic(0)(1), 1.0))
+    assert(approx(mic(0)(2), 0.0, 1e-12))
+    assert(mic(0)(0) == 1.0 && mic(2)(2) == 1.0)
+    // MIC sees nonlinear dependence Pearson misses: y = (x-0.5)^2
+    val rnd = new Random(5)
+    val nl = (1 to 2000).map { _ =>
+      val x = rnd.nextDouble()
+      (x, (x - 0.5) * (x - 0.5), rnd.nextDouble())
+    }.toDF("x", "y", "z")
+    val micNl = Corr.micMatrix(nl, Seq("x", "y", "z"), bins = 4)
+    val pearson = Corr.matrix(nl, Seq("x", "y", "z"))
+    assert(micNl(0)(1) > 0.3 && math.abs(pearson(0)(1)) < 0.15,
+      s"mic=${micNl(0)(1)} pearson=${pearson(0)(1)}")
+    assert(micNl(0)(2) < 0.05) // independent stays low
+  }
+
+  test("resolveClusters: connected components label min id per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = graft.text.Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long path (chain of 20): pointer jumping still converges to the min
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotChain = graft.text.Dedup.resolveClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 20L).forall(i => gotChain(i) == 1L))
+  }
+
+  test("LSH multi-probe strictly improves recall vs exact-bucket at fixed planes") {
+    val e = spark.read.parquet(s"$sfSmall/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val q = e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec"))
+    val c = e.select(col("vec_id").as("cid"), col("vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("cid")).as[(Long, Long)].collect().toSet
+    val truth = pairs(graft.ann.Ann.bruteTopK(q, c, k = 3))
+    val single = pairs(graft.ann.Ann.lshTopK(q, c, k = 3, planes = 6))
+    val multi = pairs(graft.ann.Ann.lshTopK(q, c, k = 3, planes = 6, probes = 6))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    assert(rMulti > rSingle, s"recall single=$rSingle multi=$rMulti")
+    // 1-bit probes only recover single-plane misses; ~0.3 at 6 planes on
+    // this corpus (vs exact-bucket below it) — the point is the strict gain
+    assert(rMulti >= 0.25)
+  }
+
+  test("UGS union + SUM consensus across ridge estimators") {
+    val rnd = new Random(17)
+    val rows = (1 to 400).map { _ =>
+      val x0 = rnd.nextDouble(); val x1 = rnd.nextDouble()
+      val x2 = rnd.nextDouble()
+      (x0, x1, x2, 3.0 * x0 + 2.0 * x2 + rnd.nextGaussian() * 0.01)
+    }
+    val df = rows.toDF("x0", "x1", "x2", "y")
+    val grams = GramCV.fit(df, Seq("x0", "x1", "x2"), "y", 3, Seq(col("x0")))
+    val subsets = Seq(Seq(0), Seq(2), Seq(0, 2), Seq(1), Seq(0, 1, 2))
+    val ranked = UnionGrouping.run(grams, subsets, ridges = Seq(0.0, 1e-4))
+    assert(ranked.nonEmpty)
+    // ranking is minmax-scaled desc, and the signal subset {x0,x2} wins its group
+    assert(ranked.map(_.score) == ranked.map(_.score).sorted.reverse)
+    assert(ranked.head.site == 2, s"expected subset {x0,x2} first: $ranked")
+
+    // SUM distance sweep on hand matrices: nodes enter in distance order
+    val d = Array(
+      Array(0.0, 1.0, 2.0),
+      Array(1.0, 0.0, 3.0),
+      Array(2.0, 3.0, 0.0))
+    val scores = Array(1.0, 0.5, 0.2)
+    val sweep = SumConsensus.distanceSweep(Seq(d, d), Seq(scores, scores))
+    assert(sweep.map(_._1) == Seq(0, 1, 2))
+    assert(sweep.head._2 == 0.0 && sweep(1)._2 >= 1.0 && sweep(2)._2 >= 2.0)
+
+    // tournament groups: union of co-clustered members + noise singleton
+    val groups = UnionGrouping.tournamentGroups(Seq(
+      Array(0, 0, 1, -1, 1),
+      Array(0, 1, 1, 1, -1)))
+    assert(groups(0) == Seq(0, 1))
+    assert(groups(1) == Seq(0, 1, 2, 3)) // union across the two estimators
+    assert(groups(3) == Seq(1, 2, 3))
+    assert(groups(4) == Seq(2, 4))
+  }
+
+  test("PreMap.addNew conserves old row sums and adds a uniform row") {
+    val pm = PreMap.uniform(4)
+    pm.bind(0, 1, 0.1)
+    val before = (0 until 4).map(pm.rowSum)
+    val grown = pm.addNew()
+    assert(grown.n == 5)
+    (0 until 4).foreach(i => assert(approx(grown.rowSum(i), before(i))))
+    assert(approx(grown.rowSum(4), 1.0))
+  }
+
+  test("tokenCounts: one-pass sorted-run map matches naive counting") {
+    val df = Seq("a b a c b a", "  x  ", "", "z z z").toDF("t")
+    val got = df.select(graft.featurize.FormulaParser.tokenCounts(col("t")).as("m"))
+      .as[Map[String, Double]].collect()
+    assert(got(0) == Map("a" -> 3.0, "b" -> 2.0, "c" -> 1.0))
+    assert(got(1) == Map("x" -> 1.0))
+    assert(got(2) == Map.empty[String, Double])
+    assert(got(3) == Map("z" -> 3.0))
+  }
+}
