@@ -85,8 +85,39 @@ object Compiler {
   final case class CustomOp(
       build: Column => Column,
       dim: DimT => DimT = identity)
+
+  /** Binary plugin (newfuncV arity=2, newfunc.py:9-37): a named (l, r) →
+    * Column builder with a paired dim-propagation rule, usable in any
+    * Binary node.
+    */
+  final case class CustomBinaryOp(
+      build: (Column, Column) => Column,
+      dim: (DimT, DimT) => DimT = (a, _) => a)
+
+  /** Group plugin (newfuncD, newfunc.py:39-168). `keep` mirrors the
+    * reference flag: true → the op maps the group to a group of the SAME
+    * size (builder returns an array column); false → it reduces the group
+    * to one value (builder returns a scalar column) — the arity fact the
+    * reference's `simple()` folding relies on. `dim` receives the member
+    * dim and the group size; `isJump` marks ops whose rem/dim containment
+    * may jump across 2+-member groups (metadata for dim-force selection).
+    */
+  final case class CustomGroupOp(
+      build: Column => Column,
+      keep: Boolean,
+      dim: (DimT, Int) => DimT = (d, _) => d,
+      isJump: Boolean = false)
+
   private val customOps = scala.collection.concurrent.TrieMap.empty[String, CustomOp]
+  private val customBinaryOps = scala.collection.concurrent.TrieMap.empty[String, CustomBinaryOp]
+  private val customGroupOps = scala.collection.concurrent.TrieMap.empty[String, CustomGroupOp]
   def registerOp(name: String, op: CustomOp): Unit = customOps.update(name, op)
+  def registerBinaryOp(name: String, op: CustomBinaryOp): Unit =
+    customBinaryOps.update(name, op)
+  def registerGroupOp(name: String, op: CustomGroupOp): Unit =
+    customGroupOps.update(name, op)
+  private[graft] def groupOpKeeps(name: String): Boolean =
+    customGroupOps.get(name).map(_.keep).getOrElse(name == "Conv")
 
   private def unary(op: String, c: Column): Column =
     customOps.get(op).map(_.build(c)).getOrElse(unaryBuiltin(op, c))
@@ -117,7 +148,8 @@ object Compiler {
     // error per-row and let the score guard degrade the candidate instead
     // (scores.py:54-56) — try_divide nulls the row, Scoring.safe absorbs it.
     case "/" => try_divide(l, r)
-    case other => throw new IllegalArgumentException(s"binary op $other")
+    case other => customBinaryOps.get(other).map(_.build(l, r))
+      .getOrElse(throw new IllegalArgumentException(s"binary op $other"))
   }
 
   /** Group reduce (npfunc.py semantics): MSub/MDiv/Conv act only on k=2
@@ -136,7 +168,8 @@ object Compiler {
     // MSub(Conv(g)) = g[2] − g[1] (npfunc.py:44-49, test_function.py:135-138)
     case "Conv" => when(size(arr) === 2, reverse(arr)).otherwise(arr)
     case "Self" => element_at(arr, 1)
-    case other  => throw new IllegalArgumentException(s"group op $other")
+    case other => customGroupOps.get(other).map(_.build(arr))
+      .getOrElse(throw new IllegalArgumentException(s"group op $other"))
   }
 
   /** Depth guard mirroring the reference's height-90 MemoryError guard
@@ -190,19 +223,96 @@ object Compiler {
         case "+" | "-" => a + b
         case "*"       => a * b
         case "/"       => a / b
-        case _         => DNan
+        case _ => customBinaryOps.get(op).map(_.dim(a, b)).getOrElse(DNan)
       }
     case GroupReduce(op, c) =>
       val d = dimOf(c, reg)
-      val k = c match {
-        case Terminal(n) => reg.groups.get(n).map(_._3).getOrElse(1)
-        case _           => 1
-      }
+      val k = groupSizeOf(c, reg)
       op match {
         case "MMul" => d.pow(k.toDouble) // exponents scale by group size
         case "MDiv" => if (k == 2) Dim.dless else d
-        case _      => d
+        case "MAdd" | "MSub" | "Conv" | "Self" => d
+        case _ => customGroupOps.get(op).map(_.dim(d, k)).getOrElse(d)
       }
     case GroupMap(op, c) => dimOf(Unary(op, c), reg)
+  }
+
+  /** Static group arity of a subtree: group terminals carry their size;
+    * keep=false group reduces collapse to 1; keep=true ops (Conv, custom
+    * keep ops) preserve it — the arity bookkeeping behind `simple()`
+    * (symbol/base.py group folding).
+    */
+  def groupSizeOf(e: FeatureExpr, reg: Registry): Int = e match {
+    case Terminal(n)       => reg.groups.get(n).map(_._3).getOrElse(1)
+    case GroupReduce(op, c) => if (groupOpKeeps(op)) groupSizeOf(c, reg) else 1
+    case GroupMap(_, c)    => groupSizeOf(c, reg)
+    case Unary(_, c)       => groupSizeOf(c, reg)
+    case _                 => 1
+  }
+
+  /** Algebraic folding pass — the reference's `simple()` (symbol/base.py):
+    * group ops on arity-1 subtrees fold to Self, double Conv cancels,
+    * self/neg∘neg/rec∘rec collapse, and ±0 / ·1 / ÷1 constants fold.
+    * Semantics-preserving: compile(simplify(e)) ≡ compile(e).
+    */
+  def simplify(e: FeatureExpr, reg: Registry): FeatureExpr = {
+    def go(e: FeatureExpr): FeatureExpr = e match {
+      case Unary("self", c) => go(c)
+      case Unary("neg", Unary("neg", c)) => go(c)
+      case Unary("rec", Unary("rec", c)) => go(c)
+      case Unary("abs", Unary("abs", c)) => go(Unary("abs", c))
+      case Unary(op, c) => Unary(op, go(c))
+      case Binary("+", c, ConstE(0)) => go(c)
+      case Binary("+", ConstE(0), c) => go(c)
+      case Binary("-", c, ConstE(0)) => go(c)
+      case Binary("*", c, ConstE(1)) => go(c)
+      case Binary("*", ConstE(1), c) => go(c)
+      case Binary("/", c, ConstE(1)) => go(c)
+      case Binary(op, l, r) => Binary(op, go(l), go(r))
+      case GroupReduce("Conv", GroupReduce("Conv", c)) => go(c)
+      // arity-1 group: array-preserving (keep) ops are the identity; true
+      // reduces degenerate to the single member
+      case GroupReduce(op, c) if groupSizeOf(c, reg) == 1 && groupOpKeeps(op) =>
+        go(c)
+      case GroupReduce(op, c) if groupSizeOf(c, reg) == 1 && op != "Self" =>
+        GroupReduce("Self", go(c))
+      case GroupReduce(op, c) => GroupReduce(op, go(c))
+      case GroupMap(op, c) => GroupMap(op, go(c))
+      case leaf => leaf
+    }
+    // iterate to fixpoint (folds can expose further folds)
+    var cur = e
+    var next = go(cur)
+    while (next != cur) { cur = next; next = go(cur) }
+    cur
+  }
+
+  /** general_expr pretty-print (symbol/base.py general_expr): render with
+    * group terminals EXPANDED into their members, so `MAdd(g)` over a k=3
+    * group prints `(g_1 + g_2 + g_3)` instead of the opaque fold.
+    */
+  def generalExpr(e: FeatureExpr, reg: Registry): String = {
+    def members(n: String): Option[Seq[String]] =
+      reg.groups.get(n).map { case (_, _, k) => (1 to k).map(i => s"${n}_$i") }
+    e match {
+      case GroupReduce(op, Terminal(n)) if members(n).isDefined =>
+        val ms = members(n).get
+        op match {
+          case "MAdd" => ms.mkString("(", " + ", ")")
+          case "MMul" => ms.mkString("(", " * ", ")")
+          case "MSub" => if (ms.size == 2) s"(${ms(0)} - ${ms(1)})" else ms.head
+          case "MDiv" => if (ms.size == 2) s"(${ms(0)} / ${ms(1)})" else ms.head
+          case "Conv" => ms.reverse.mkString("[", ", ", "]")
+          case "Self" => ms.head
+          case other  => s"$other(${ms.mkString(", ")})"
+        }
+      case Terminal(n) if members(n).isDefined =>
+        members(n).get.mkString("[", ", ", "]")
+      case Unary(op, c)      => s"$op(${generalExpr(c, reg)})"
+      case Binary(op, l, r)  => s"(${generalExpr(l, reg)} $op ${generalExpr(r, reg)})"
+      case GroupReduce(o, c) => s"$o(${generalExpr(c, reg)})"
+      case GroupMap(o, c)    => s"map_$o(${generalExpr(c, reg)})"
+      case other             => other.render
+    }
   }
 }

@@ -162,4 +162,60 @@ object Ego {
           points(j).zip(points(i)).exists { case (a, b) => a > b }
       }
     }.toArray
+
+  /** Multi-target EGO ranking vs the observed Pareto front — the reference's
+    * CalculatePi / CalculateL / CalculateEi (multiplyego.py:166-216), fully
+    * distributed:
+    *
+    *  - Pi (Monte-Carlo non-dominance): over the B bootstrap draws, the
+    *    fraction where the candidate's predicted target vector is NOT
+    *    strictly dominated by any front point (dominated = below the front
+    *    point in EVERY target);
+    *  - L: min over front points of (min over targets |mean_t − front_t|) —
+    *    the reference's nearest-front distance on bootstrap means;
+    *  - EI = L · Pi, ranked descending.
+    *
+    * One select over the search space: B·m prediction columns + the Pi/L
+    * folds, all codegen'd; `front` (the observed Pareto set) enters as
+    * literals — it is tiny by construction.
+    */
+  def rankMulti(
+      space: DataFrame,
+      models: Seq[Model], // one bootstrap model per target
+      front: Array[Array[Double]] // front points × targets
+  ): DataFrame = {
+    require(models.nonEmpty && front.forall(_.length == models.size),
+      "front points must have one coordinate per target model")
+    val b = models.head.betas.length
+    require(models.forall(_.betas.length == b), "models must share B")
+    def pred(t: Int, bi: Int): Column = {
+      val m = models(t)
+      val terms = m.features.zipWithIndex.map { case (f, i) =>
+        col(f) * lit(m.betas(bi)(i))
+      } :+ lit(m.betas(bi)(m.features.size))
+      terms.reduce(_ + _)
+    }
+    // Pi: fraction of bootstrap draws not strictly dominated by any front pt
+    val nonDominated = (0 until b).map { bi =>
+      val dominatedByAny = front.map { fp =>
+        (0 until models.size).map(t => pred(t, bi) < lit(fp(t)))
+          .reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      when(dominatedByAny, lit(0.0)).otherwise(lit(1.0))
+    }
+    val pi = nonDominated.reduce(_ + _) / lit(b.toDouble)
+    // L: nearest-front distance of the bootstrap-mean prediction vector
+    val meanPred = (0 until models.size).map(t =>
+      (0 until b).map(bi => pred(t, bi)).reduce(_ + _) / lit(b.toDouble))
+    val l = front.map { fp =>
+      (0 until models.size).map(t => abs(meanPred(t) - lit(fp(t))))
+        .reduce(least(_, _))
+    }.reduceOption(least(_, _)).getOrElse(lit(0.0))
+    val lClamped = greatest(l, lit(0.0))
+    space
+      .withColumn("pi", pi)
+      .withColumn("l", lClamped)
+      .withColumn("ei", lClamped * pi)
+      .orderBy(col("ei").desc)
+  }
 }

@@ -22,6 +22,22 @@ import graft.expr._
   */
 object SymbolicSearch {
 
+  /** Loop-strategy presets mirroring the reference's BaseLoop subclasses
+    * (flow.py:363-440).
+    */
+  sealed trait Strategy
+  /** Full mutation suite {node-replace, uniform, shrink, diff-replace}. */
+  case object MultiMutate extends Strategy
+  /** Structure-preserving only: {node-replace, diff-replace} — the
+    * reference's "limitation height" loop (crossover still applies).
+    */
+  case object OnePointMutate extends Strategy
+  /** MultiMutate + selection restricted to dim-valid individuals (the
+    * reference registers selKbestDim with force_number=True; requires
+    * cal_dim, flow.py:430-440).
+    */
+  case object DimForce extends Strategy
+
   final case class Config(
       popSize: Int = 60,
       nGen: Int = 8,
@@ -36,7 +52,8 @@ object SymbolicSearch {
       usePreMap: Boolean = false, // probability-guided terminal co-selection
       preMapRate: Double = 0.1,
       initFull: Boolean = true, // ramped half-and-half (grow/full mix, gp.py:159-206)
-      reTree: Int = 0 // elite-subtree re-add width (flow.py:274-286); 0 = off
+      reTree: Int = 0, // elite-subtree re-add width (flow.py:274-286); 0 = off
+      strategy: Strategy = MultiMutate
   )
 
   final case class Individual(expr: FeatureExpr, score: Double, fit: Scoring.Fit)
@@ -332,9 +349,20 @@ object SymbolicSearch {
           if (recent.head == recent.last) stop = true
         }
         if (!stop && gen < cfg.nGen) {
-          // tournament selection
+          // tournament selection; DimForce restricts the breeding pool to
+          // dim-valid individuals (flow.py:430-440 force_number semantics)
+          val pool: Vector[Int] = cfg.strategy match {
+            case DimForce =>
+              val ok = typed.zipWithIndex.collect { case ((_, true), i) => i }
+              if (ok.isEmpty) throw new IllegalStateException(
+                "DimForce: no individual satisfies the dim constraint in this " +
+                  "population — change dim_type or use another loop strategy")
+              ok.toVector
+            case _ => (0 until cfg.popSize).toVector
+          }
           val selected = Vector.fill(cfg.popSize) {
-            val contenders = Vector.fill(cfg.tournament)(rnd.nextInt(cfg.popSize))
+            val contenders = Vector.fill(cfg.tournament)(
+              pool(rnd.nextInt(pool.size)))
             contenders.maxBy(scored(_).score)
           }.map(pop)
           // varAnd (gp.py:674-689): crossover then mutation, height-limited
@@ -346,13 +374,20 @@ object SymbolicSearch {
           }.toVector
           pop = crossed.map { ind =>
             if (rnd.nextDouble() < cfg.mutPb) {
-              // mutation suite (MutilMutateLoop analog): uniform / shrink /
-              // node-replacement / duplicate-terminal diversification
-              val mutated = rnd.nextInt(4) match {
-                case 0 => mutate(rnd, curReg, ind, cfg.maxHeight, premap, Some(curNames))
-                case 1 => mutShrink(rnd, ind)
-                case 2 => mutNode(rnd, ind)
-                case _ => mutDifferentReplacement(rnd, curNames, ind)
+              // mutation suite per strategy: MultiMutate/DimForce use the
+              // full 4-op suite (MutilMutateLoop); OnePointMutate only the
+              // structure-preserving pair (OnePointMutateLoop)
+              val mutated = cfg.strategy match {
+                case OnePointMutate => rnd.nextInt(2) match {
+                  case 0 => mutNode(rnd, ind)
+                  case _ => mutDifferentReplacement(rnd, curNames, ind)
+                }
+                case _ => rnd.nextInt(4) match {
+                  case 0 => mutate(rnd, curReg, ind, cfg.maxHeight, premap, Some(curNames))
+                  case 1 => mutShrink(rnd, ind)
+                  case 2 => mutNode(rnd, ind)
+                  case _ => mutDifferentReplacement(rnd, curNames, ind)
+                }
               }
               limited(mutated, ind, cfg.maxHeight)
             } else ind

@@ -270,6 +270,128 @@ class Round2Spec extends GraftSuite {
     assert(approx(grown.rowSum(4), 1.0))
   }
 
+  test("custom binary + group ops with keep flag (newfuncV/newfuncD)") {
+    Compiler.registerBinaryOp("hypot",
+      Compiler.CustomBinaryOp((l, r) => sqrt(l * l + r * r),
+        (a, b) => if (a == b) a else DNan))
+    // keep=false: reduces the group to one value (dim folds by size);
+    // keep=true: maps the group to a same-size group
+    Compiler.registerGroupOp("GRange",
+      Compiler.CustomGroupOp(arr => array_max(arr) - array_min(arr),
+        keep = false))
+    Compiler.registerGroupOp("GScale2",
+      Compiler.CustomGroupOp(arr => transform(arr, x => x * 2.0), keep = true))
+    val df = Seq((3.0, 4.0, Seq(1.0, 5.0, 2.0))).toDF("a", "b", "g")
+    val reg = Registry(
+      terminals = Map(
+        "a" -> (col("a"), Dim.of(0 -> 1.0)),
+        "b" -> (col("b"), Dim.of(0 -> 1.0))),
+      groups = Map("g" -> (col("g"), Dim.dless, 3)))
+    val e = Binary("hypot", Terminal("a"), Terminal("b"))
+    assert(df.select(Compiler.compile(e, reg).as("v")).as[Double].head() == 5.0)
+    assert(Compiler.dimOf(e, reg) == Dim.of(0 -> 1.0))
+    val g1 = GroupReduce("GRange", Terminal("g"))
+    assert(df.select(Compiler.compile(g1, reg).as("v")).as[Double].head() == 4.0)
+    assert(Compiler.groupSizeOf(g1, reg) == 1) // keep=false folds arity
+    val g2 = GroupReduce("MAdd", GroupReduce("GScale2", Terminal("g")))
+    assert(df.select(Compiler.compile(g2, reg).as("v")).as[Double].head() == 16.0)
+    assert(Compiler.groupSizeOf(GroupReduce("GScale2", Terminal("g")), reg) == 3)
+  }
+
+  test("simplify folds identities; generalExpr expands groups (simple/general_expr)") {
+    val reg = Registry(
+      terminals = Map("x0" -> (col("x0"), Dim.dless)),
+      groups = Map(
+        "g1" -> (col("g1"), Dim.dless, 1),
+        "g3" -> (col("g3"), Dim.dless, 3)))
+    // self/neg∘neg/±0/·1 fold away
+    val e1 = Binary("+", Unary("self", Unary("neg", Unary("neg", Terminal("x0")))),
+      ConstE(0))
+    assert(Compiler.simplify(e1, reg) == Terminal("x0"))
+    // double Conv cancels; arity-1 group reduce degenerates to Self
+    assert(Compiler.simplify(
+      GroupReduce("Conv", GroupReduce("Conv", Terminal("g3"))), reg) == Terminal("g3"))
+    assert(Compiler.simplify(GroupReduce("MAdd", Terminal("g1")), reg) ==
+      GroupReduce("Self", Terminal("g1")))
+    // semantics preserved on a real frame
+    val df = Seq((7.0, Seq(2.0), Seq(1.0, 2.0, 3.0))).toDF("x0", "g1", "g3")
+    val deep = Binary("*", Binary("+", Terminal("x0"), ConstE(0)),
+      GroupReduce("MMul", Terminal("g1")))
+    val s = Compiler.simplify(deep, reg)
+    assert(s.size < deep.size)
+    val (a, b) = (
+      df.select(Compiler.compile(deep, reg).as("v")).as[Double].head(),
+      df.select(Compiler.compile(s, reg).as("v")).as[Double].head())
+    assert(a == b && a == 14.0)
+    // general_expr expansion
+    assert(Compiler.generalExpr(GroupReduce("MAdd", Terminal("g3")), reg) ==
+      "(g3_1 + g3_2 + g3_3)")
+    assert(Compiler.generalExpr(
+      Binary("*", Terminal("x0"), GroupReduce("MMul", Terminal("g3"))), reg) ==
+      "(x0 * (g3_1 * g3_2 * g3_3))")
+  }
+
+  test("loop strategies: OnePointMutate + DimForce (flow.py loop classes)") {
+    val rnd = new Random(8)
+    val rows = (1 to 150).map { _ =>
+      val a = 1.0 + rnd.nextDouble(); val b = 1.0 + rnd.nextDouble()
+      (a, b, a * b)
+    }
+    val df = rows.toDF("x0", "x1", "y")
+    val reg = Registry(terminals = Map(
+      "x0" -> (col("x0"), Dim.of(0 -> 1.0)),
+      "x1" -> (col("x1"), Dim.of(0 -> 1.0))))
+    val one = SymbolicSearch.fit(df, reg, col("y"),
+      SymbolicSearch.Config(popSize = 20, nGen = 3, maxHeight = 3,
+        strategy = SymbolicSearch.OnePointMutate))
+    assert(one.hall.nonEmpty && one.best.score > 0.5)
+    // DimForce: breeding pool restricted to dim-valid individuals — with
+    // requireDimless there is no dimensionless expression over L-dim
+    // terminals of height <= 1... but products/quotients qualify, so the
+    // loop must still find breeders and every hall member is dim-valid
+    val force = SymbolicSearch.fit(df, reg, col("y"),
+      SymbolicSearch.Config(popSize = 30, nGen = 3, maxHeight = 3,
+        strategy = SymbolicSearch.DimForce))
+    assert(force.hall.nonEmpty)
+    force.hall.foreach(h =>
+      assert(!Compiler.dimOf(h.expr, force.registry).isNan))
+  }
+
+  test("multi-target EGO: Pi/L/Ei vs the Pareto front (multiplyego.py:166-216)") {
+    import breeze.linalg.DenseVector
+    // two targets, constant models (B=2 bootstrap draws) so Pi/L are exact:
+    //   target0 preds: x*1+0  and x*1+1   target1 preds: x*0+5 and x*0+7
+    val m0 = graft.search.Ego.Model(
+      Array(DenseVector(1.0, 0.0), DenseVector(1.0, 1.0)), Seq("x"))
+    val m1 = graft.search.Ego.Model(
+      Array(DenseVector(0.0, 5.0), DenseVector(0.0, 7.0)), Seq("x"))
+    val space = spark.createDataFrame(
+      Seq(Tuple1(1.0), Tuple1(4.0), Tuple1(10.0))).toDF("x")
+    // front point (4, 6): x=1 draws (1,5),(2,7): draw0 dominated (1<4,5<6),
+    // draw1 not (7>6) → Pi=0.5; x=4 draws (4,5),(5,7): 4<4 is false →
+    // never strictly dominated → Pi=1; x=10 never dominated → Pi=1
+    val front = Array(Array(4.0, 6.0))
+    val got = graft.search.Ego.rankMulti(space, Seq(m0, m1), front)
+      .select(col("x"), col("pi"), col("l"), col("ei"))
+      .as[(Double, Double, Double, Double)].collect().sortBy(_._1)
+    val byX = got.map(r => r._1 -> r).toMap
+    assert(byX(1.0)._2 == 0.5)
+    assert(byX(4.0)._2 == 1.0)
+    assert(byX(10.0)._2 == 1.0)
+    // L at x=10: means (10.5, 6) → min(|10.5-4|, |6-6|) = 0 → Ei = 0
+    assert(byX(10.0)._3 == 0.0 && byX(10.0)._4 == 0.0)
+    // L at x=1: means (1.5, 6) → min(2.5, 0) = 0; x=4: means (4.5, 6) → 0
+    assert(byX(1.0)._3 == 0.0)
+    // a second front point away from target1 means makes L positive
+    val got2 = graft.search.Ego.rankMulti(space, Seq(m0, m1),
+      Array(Array(0.0, 0.0)))
+      .select(col("x"), col("pi"), col("l")).as[(Double, Double, Double)]
+      .collect().sortBy(_._1)
+    // never dominated by (0,0) → Pi=1; L = min(|mean0-0|, |mean1-0|)
+    assert(got2.forall(_._2 == 1.0))
+    assert(approx(got2(0)._3, 1.5) && approx(got2(2)._3, 6.0))
+  }
+
   test("tokenCounts: one-pass sorted-run map matches naive counting") {
     val df = Seq("a b a c b a", "  x  ", "", "z z z").toDF("t")
     val got = df.select(graft.featurize.FormulaParser.tokenCounts(col("t")).as("m"))
