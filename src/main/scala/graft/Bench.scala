@@ -17,9 +17,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/target/bench")
+    // default the synthetic-input/output dir to tmpfs when present: the
+    // sandbox's shared virtio disk adds ±30% writeback noise that measures
+    // the box, not the engine (protocol: BASELINE.md §4); override with
+    // SPARK_GRAFT_BENCH_DIR to bench against real disks
+    val tmpfsDefault =
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graftbench"
+      else "/root/repo/target/bench"
+    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", tmpfsDefault)
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "80000").toLong
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val spark = graft.core.GraftSession.local(cpus)
+
+    // untimed JVM/codegen warm-up so the timed numbers measure the engine,
+    // not interpreter-mode first-run JIT (protocol documented in BASELINE.md
+    // §4: steady-state, best-of-N; here one warm pass suffices)
+    (1 to warmups).foreach { _ =>
+      try force(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+      catch { case _: Throwable => }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -28,8 +44,13 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // flagship transcript pipeline (input synthesized once, reused)
+    // flagship transcript pipeline (input synthesized once, reused);
+    // untimed warm pass first, then the measured run
     val (tPath, sPath) = graft.run.Flagship.ensureData(spark, benchBase, nConvs)
+    (1 to warmups).foreach { _ =>
+      graft.run.Flagship.run(spark, tPath, sPath,
+        s"$benchBase/warm_cpus$cpus", nBuckets = 32)
+    }
     val (rows, ms, tps) = graft.run.Flagship.run(
       spark, tPath, sPath, s"$benchBase/out_cpus$cpus", nBuckets = 32)
 
@@ -40,7 +61,7 @@ object Bench {
       s"""{"metric":"flagship asof+window turns/sec","value":${tps.toLong},""" +
         s""""unit":"turns/sec","queries":$qs,"sf":"$sfDir",""" +
         s""""flagship_rows":$rows,"flagship_sec":${ms / 1000.0},""" +
-        s""""query_total_sec":${f"$total%.2f"},"cpus":$cpus}""")
+        s""""query_total_sec":${f"$total%.2f"},"cpus":$cpus,"warmups":$warmups}""")
     spark.stop()
   }
 }

@@ -69,9 +69,15 @@ object Dedup {
     var labels = truncated(
       edges.select(col("a").as("id")).distinct()
         .withColumn("label", col("id")))
-    var changed = 1L
+    // labels are monotone non-increasing, so the label sum strictly
+    // decreases every non-converged round: comparing sums detects the
+    // fixpoint with ONE cheap aggregate instead of a join per round
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (!converged && round < maxRounds) {
       round += 1
       // (a) neighbor-min
       val nbrMin = edges
@@ -85,9 +91,9 @@ object Dedup {
         .join(step.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label")))
-      changed = jumped.select(col("id"), col("label").as("new_label"))
-        .join(labels, Seq("id"))
-        .where(col("new_label") =!= col("label")).count()
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
       labels = jumped
     }
     edges.unpersist()

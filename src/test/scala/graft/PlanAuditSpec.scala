@@ -55,4 +55,23 @@ class PlanAuditSpec extends GraftSuite {
     // '*(n)' prefixes mark WholeStageCodegen stages in the compact form
     assert(plan(df).contains("*("), s"no codegen stage:\n${plan(df)}")
   }
+
+  test("multi-probe LSH stays an equi hash join (no cartesian/BNLJ fan-out)") {
+    val p = plan(SparkEntry.queries("q46_lsh_multiprobe")(spark, sfSmall))
+    assert(!p.contains("CartesianProduct"), s"cartesian in multiprobe plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join extraction failed:\n$p")
+    assert(p.contains("bkey"), "probe join must key on the bucket")
+  }
+
+  test("resolveClusters truncates lineage: result plan is constant-size") {
+    import spark.implicits._
+    // a 16-node chain forces several propagation rounds; without per-round
+    // truncation the plan would double each round (the round-2 OOM bug)
+    val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.text.Dedup.resolveClusters(pairs)
+    val nodes = out.queryExecution.logical.collect { case n => n }.size
+    assert(nodes <= 10,
+      s"resolveClusters leaked lineage across rounds ($nodes logical nodes)")
+  }
 }
