@@ -29,12 +29,13 @@ object Bench {
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val spark = graft.core.GraftSession.local(cpus)
 
-    // untimed JVM/codegen warm-up so the timed numbers measure the engine,
-    // not interpreter-mode first-run JIT (protocol documented in BASELINE.md
-    // §4: steady-state, best-of-N; here one warm pass suffices)
+    // untimed warm pass per query so the timed numbers measure the engine's
+    // steady state, not first-run JIT/codegen compilation (protocol as in
+    // BASELINE.md §4; "warmups" is reported in the JSON)
     (1 to warmups).foreach { _ =>
-      try force(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
-      catch { case _: Throwable => }
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try force(fn(spark, sfDir)) catch { case _: Throwable => }
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
