@@ -88,6 +88,7 @@ object Corr {
     */
   def binnedMI(df: DataFrame, cols: Seq[String], bins: Int = 4): Array[Array[Double]] = {
     val d = cols.size
+    require(d >= 2, "binnedMI needs at least two columns")
     val c = cols.map(n => col(n).cast("double"))
     // pass 1: ranges
     val rangeAggs = c.zipWithIndex.flatMap { case (x, i) =>

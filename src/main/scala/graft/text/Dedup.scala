@@ -71,9 +71,13 @@ object Dedup {
         .withColumn("label", col("id")))
     // labels are monotone non-increasing, so the label sum strictly
     // decreases every non-converged round: comparing sums detects the
-    // fixpoint with ONE cheap aggregate instead of a join per round
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    // fixpoint with ONE cheap aggregate instead of a join per round.
+    // decimal(38,0) keeps the sum EXACT at any scale — a long sum of
+    // billions of large ids would overflow (ANSI throws), and a double sum
+    // could swallow a 1-row change and declare a false fixpoint
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -92,7 +96,7 @@ object Dedup {
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label")))
       val s = labelSum(jumped)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = jumped
     }
