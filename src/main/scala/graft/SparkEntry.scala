@@ -496,6 +496,21 @@ object SparkEntry {
         round(element_at(col("feature"), 4), 6).as("f3"))
     }),
 
+    "q47_dedup_docs" -> ((s, dir) => {
+      // end-to-end keep-list: exact dups + near-dups clustered, min id kept
+      graft.text.Dedup.dedupDocs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", blockKey = col("lang"), shingleN = 3, threshold = 0.7)
+    }),
+
+    "q48_stratified_sample" -> ((s, dir) => {
+      // deterministic language-balanced data mixing: keep-decision is a pure
+      // hash of the row's own id — bit-identical at any parallelism
+      graft.text.Sampling.stratified(Tables.load(s, dir, "documents"),
+        "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "q25_ego_rank" -> ((s, dir) => {
       // fully oracle-verified EGO: LCG bootstrap weights + exact integer
       // sufficient statistics (quantity is integer-valued, price quantized
@@ -906,6 +921,42 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM p)
          |WHERE rank <= 3""".stripMargin
+    },
+
+    "q47_dedup_docs" -> {
+      val sh = OracleSqlGen.shingleHashes("text", 3)
+      s"""WITH RECURSIVE s AS (SELECT doc_id, lang, $sh AS sh FROM documents),
+         |near AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE ${OracleSqlGen.jaccard("a.sh", "b.sh")} >= 0.7
+         |), ex AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM documents
+         |), allp AS (
+         |  SELECT * FROM near
+         |  UNION
+         |  SELECT keeper AS id_a, doc_id AS id_b FROM ex WHERE doc_id <> keeper
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM allp
+         |  UNION SELECT id_b, id_a FROM allp
+         |), reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id
+         |), cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> c)""".stripMargin
+    },
+
+    "q48_stratified_sample" -> {
+      val h = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':s1')")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $h % 1000 < round(
+         |  (CASE WHEN lang = 'zh' THEN 0.3
+         |        WHEN lang = 'en' THEN 0.5
+         |        WHEN lang = 'de' THEN 0.25
+         |        ELSE 0.1 END) * 1000.0)""".stripMargin
     },
 
     "q26_exact_dedup" ->

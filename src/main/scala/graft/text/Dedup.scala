@@ -76,8 +76,8 @@ object Dedup {
     // billions of large ids would overflow (ANSI throws), and a double sum
     // could swallow a 1-row change and declare a false fixpoint
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -163,6 +163,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end document dedup: exact duplicates (same text digest) and
+    * near-duplicates (exact n-gram Jaccard ≥ threshold via the PPJoin path)
+    * are merged into clusters and only each cluster's smallest id survives.
+    * Returns the KEPT ids — the materialized keep-list a training-data
+    * pipeline feeds downstream.
+    *
+    * Composition, all at the scale shapes documented on the pieces:
+    * digest-groupBy for exact edges, prefix-filtered similarity join for
+    * near edges, [[resolveClusters]] for the transitive closure.
+    */
+  def dedupDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int = 3,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val keepers = df
+      .select(col(idCol).as("id"), md5(col(textCol)).as("__md5"))
+      .withColumn("__keeper",
+        min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__md5"))))
+    val exactEdges = keepers.where(col("id") =!= col("__keeper"))
+      .select(col("__keeper").as("id_a"), col("id").as("id_b"))
+    val nearEdges = ngramJaccardPairs(df, idCol, textCol, blockKey, shingleN, threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = resolveClusters(exactEdges.unionByName(nearEdges))
+    df.select(col(idCol))
+      .join(clusters.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: 16-bit signatures, candidates = equal signature

@@ -392,6 +392,39 @@ class Round2Spec extends GraftSuite {
     assert(approx(got2(0)._3, 1.5) && approx(got2(2)._3, 6.0))
   }
 
+  test("dedupDocs: exact + near dups cluster, min id survives") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "the quick brown fox jumps", "en"), // exact dup of 1
+      (3L, "the quick brown fox jumped", "en"), // near dup of 1
+      (4L, "completely different text here", "en"),
+      (5L, "unrelated german words", "de")
+    ).toDF("doc_id", "text", "lang")
+    val kept = graft.text.Dedup.dedupDocs(docs, "doc_id", "text",
+      blockKey = col("lang"), shingleN = 3, threshold = 0.5)
+      .as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L, 5L)), s"kept=${kept.toSeq}")
+  }
+
+  test("stratified sample: deterministic, parallelism-invariant, rate-accurate") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    val rates = Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.25)
+    val s1 = graft.text.Sampling.stratified(docs, "doc_id", "lang", rates, 0.1)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val s2 = graft.text.Sampling.stratified(docs.repartition(13), "doc_id", "lang",
+      rates, 0.1).select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(s1 == s2, "sample must not depend on partitioning")
+    // per-stratum rate roughly honored (hash-uniformity, 500 docs)
+    val n = docs.where(col("lang") === "en").count().toDouble
+    val k = graft.text.Sampling.stratified(docs, "doc_id", "lang", rates, 0.1)
+      .where(col("lang") === "en").count().toDouble
+    assert(math.abs(k / n - 0.5) < 0.15, s"en keep rate ${k / n}")
+    // different salt → different (decorrelated) sample
+    val sA = graft.text.Sampling.stratified(docs, "doc_id", "lang", rates, 0.1, "sA")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(sA != s1.toSet)
+  }
+
   test("tokenCounts: one-pass sorted-run map matches naive counting") {
     val df = Seq("a b a c b a", "  x  ", "", "z z z").toDF("t")
     val got = df.select(graft.featurize.FormulaParser.tokenCounts(col("t")).as("m"))
