@@ -111,4 +111,104 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) coarse quantizer: `nCentroids` centroids trained by
+    * a fixed number of Lloyd iterations, seeded deterministically (initial
+    * centroids = the corpus rows with the `nCentroids` smallest
+    * pmod(id·LCG) draws — no RNG state, same result at any parallelism).
+    * Each iteration is ONE crossJoin-free pass: corpus × centroid
+    * assignment uses a broadcast centroid array (driver-held, tiny) and a
+    * groupBy mean — the standard scalable shape.
+    */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nList: Int = centroids.length
+  }
+
+  def ivfTrain(
+      corpus: DataFrame, // (cid, vec)
+      nCentroids: Int,
+      iterations: Int = 5
+  ): IvfModel = {
+    val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
+    val seeded = c
+      .withColumn("__draw", pmod(col("cid") * 1103515245L + 12345L, lit(1L << 31)))
+      .orderBy(col("__draw"), col("cid"))
+      .limit(nCentroids)
+      .select(col("cv"))
+    var centroids = seeded.collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      val assigned = assignCentroid(c, centroids)
+      val means = assigned
+        .select(col("__list"), posexplode(col("cv")).as(Seq("__pos", "__x")))
+        .groupBy(col("__list"), col("__pos"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__list"))
+        .agg(map_from_entries(collect_list(struct(col("__pos"), col("__m"))))
+          .as("__mm"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        val li = r.getInt(0)
+        val mm = r.getMap[Int, Double](1)
+        next(li) = Array.tabulate(centroids(li).length)(i => mm(i))
+      }
+      centroids = next
+    }
+    IvfModel(centroids)
+  }
+
+  /** Nearest-centroid assignment via a single generated expression over the
+    * broadcast centroid literals (array_position of the max dot) — no
+    * shuffle, no UDF.
+    */
+  private def assignCentroid(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "IVF needs at least two centroids")
+    val sims = centroids.map { ctr =>
+      val carr = array(ctr.map(lit(_)): _*)
+      dot(col("cv"), carr) / (norm(col("cv")) * lit(math.sqrt(ctr.map(x => x * x).sum)))
+    }
+    val best = sims.zipWithIndex.map { case (s, i) =>
+      struct(s.as("s"), lit(-i).as("ni"))
+    }
+    df.withColumn("__list", (-greatest(best: _*).getField("ni")).cast("int"))
+  }
+
+  /** IVF top-k: corpus rows are bucketed by nearest centroid (the inverted
+    * lists); each query probes only its `nProbe` nearest lists and reranks
+    * exactly inside them. Candidate fan-out is |corpus|·nProbe/nList — the
+    * classic IVF trade — and the probe join stays a hash equi-join on the
+    * list id.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame, // (cid, vec)
+      model: IvfModel,
+      k: Int,
+      nProbe: Int = 2,
+      roundTo: Int = 6
+  ): DataFrame = {
+    val c = assignCentroid(
+      corpus.select(col("cid"), toDouble(col("vec")).as("cv")), model.centroids)
+    val q0 = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
+    // per-query nProbe nearest centroid ids, as one array literal expression
+    val sims = model.centroids.zipWithIndex.map { case (ctr, i) =>
+      val carr = array(ctr.map(lit(_)): _*)
+      struct((dot(col("qv"), carr) /
+        (norm(col("qv")) * lit(math.sqrt(ctr.map(x => x * x).sum)))).as("s"),
+        lit(i).as("li"))
+    }
+    val probes = slice(reverse(array_sort(array(sims: _*))), 1, nProbe)
+    val q = q0.withColumn("__list",
+      explode(transform(probes, p => p.getField("li"))))
+    val scored = q.join(c, Seq("__list"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

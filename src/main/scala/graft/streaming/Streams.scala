@@ -40,3 +40,73 @@ object Streams {
   def withWatermark(df: DataFrame, ts: String, delay: String): DataFrame =
     df.withWatermark(ts, delay)
 }
+
+/** Streaming backward as-of enrich: the live-path twin of
+  * `graft.temporal.AsOf.asofJoin` — a turn stream is enriched with the
+  * latest feature snapshot whose `snap_ts <= turn.ts` (tiebreak on
+  * `snap_tie`), via `flatMapGroupsWithState` keyed on `conv_id` with ONE
+  * tiny state record per conversation (the newest snapshot seen).
+  *
+  * Semantics: within a micro-batch, rows merge in exact (ts, side, tie)
+  * order — identical to the batch operator. Zero temporal leakage is
+  * UNCONDITIONAL: a turn is only ever enriched by a snapshot with
+  * `snap_ts <= ts` (equal-ts inclusive), enforced both by the in-batch sort
+  * and by an event-time guard against the carried state — a late-arriving
+  * turn older than the retained snapshot gets NULL (conservative), never a
+  * value from its future. Since state keeps only the newest snapshot, a
+  * turn arriving after a NEWER snapshot superseded its admissible one also
+  * degrades to NULL, and a snapshot that arrives after a later-event-time
+  * turn was emitted cannot retro-enrich it (append mode) — the standard
+  * streaming as-of trade, bounded by source ordering/watermarking.
+  *
+  * State is O(1) per conversation (last snapshot only) — a 10^12-turn
+  * stream holds |active conversations| records, not history.
+  */
+object StreamingAsOf {
+
+  final case class StreamTurn(conv_id: String, turn_idx: Long, ts: java.sql.Timestamp)
+  final case class StreamSnap(conv_id: String, snap_ts: java.sql.Timestamp,
+      snap_tie: Long, f_vec: Seq[Double])
+  final case class Enriched(conv_id: String, turn_idx: Long,
+      ts: java.sql.Timestamp, f_vec: Seq[Double])
+  /** Internal union row (public: Catalyst codegen instantiates it). */
+  final case class Tagged(conv_id: String, us: Long, side: Int,
+      tie: Long, turn_idx: Long, ts: java.sql.Timestamp, f_vec: Seq[Double])
+  final case class SnapState(us: Long, tie: Long, f_vec: Seq[Double])
+
+  def enrich(
+      turns: org.apache.spark.sql.Dataset[StreamTurn],
+      snaps: org.apache.spark.sql.Dataset[StreamSnap]
+  ): org.apache.spark.sql.Dataset[Enriched] = {
+    import turns.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val tagged = turns
+      .map(t => Tagged(t.conv_id, us(t.ts), 1, t.turn_idx, t.turn_idx, t.ts, null))
+      .unionByName(snaps.map(s =>
+        Tagged(s.conv_id, us(s.snap_ts), 0, s.snap_tie, -1L, s.snap_ts, s.f_vec)))
+    tagged
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[Tagged],
+            state: org.apache.spark.sql.streaming.GroupState[SnapState]) => {
+          var cur = state.getOption
+          val out = Vector.newBuilder[Enriched]
+          // exact batch-operator order: ts, then snapshot-before-turn
+          // (inclusive bound), then tiebreak
+          rows.toVector.sortBy(r => (r.us, r.side, r.tie)).foreach { r =>
+            if (r.side == 0) {
+              if (cur.forall(c => r.us > c.us || (r.us == c.us && r.tie > c.tie)))
+                cur = Some(SnapState(r.us, r.tie, r.f_vec))
+            } else {
+              // event-time guard: state carried across batches may be newer
+              // than this turn — never enrich from the future
+              val admissible = cur.filter(_.us <= r.us)
+              out += Enriched(key, r.turn_idx, r.ts, admissible.map(_.f_vec).orNull)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+}

@@ -224,6 +224,31 @@ class Round2Spec extends GraftSuite {
     assert(rMulti >= 0.25)
   }
 
+  test("IVF ANN: probing all lists is exact; nProbe trades recall for fan-out") {
+    val e = spark.read.parquet(s"$sfSmall/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val q = e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec"))
+    val c = e.select(col("vec_id").as("cid"), col("vec"))
+    val model = graft.ann.Ann.ivfTrain(c, nCentroids = 8, iterations = 3)
+    assert(model.nList == 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("cid")).as[(Long, Long)].collect().toSet
+    val truth = pairs(graft.ann.Ann.bruteTopK(q, c, k = 3))
+    // probing EVERY list covers the whole corpus → identical to brute force
+    val exact = pairs(graft.ann.Ann.ivfTopK(q, c, model, k = 3, nProbe = 8))
+    assert(exact == truth, "nProbe = nList must reproduce the exact top-k")
+    // the approximate setting keeps useful recall at 4x less fan-out
+    val approxRecall = (pairs(graft.ann.Ann.ivfTopK(q, c, model, k = 3, nProbe = 2))
+      & truth).size.toDouble / truth.size
+    assert(approxRecall >= 0.5, s"ivf nProbe=2 recall $approxRecall")
+    // given a model, the query path is partitioning-invariant (centroid
+    // literals + per-row argmax; training means are deterministic only up
+    // to float-sum order, like any distributed mean)
+    val again = pairs(graft.ann.Ann.ivfTopK(
+      q.repartition(7), c.repartition(5), model, k = 3, nProbe = 8))
+    assert(again == truth)
+  }
+
   test("UGS union + SUM consensus across ridge estimators") {
     val rnd = new Random(17)
     val rows = (1 to 400).map { _ =>

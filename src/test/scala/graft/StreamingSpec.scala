@@ -50,4 +50,44 @@ class StreamingSpec extends GraftSuite {
       .collect().map(_.getAs[Long]("n")).sorted
     assert(out.sameElements(Array(1L, 2L)))
   }
+
+  test("streaming as-of enrich: stateful point-in-time join over two streams") {
+    import graft.streaming.StreamingAsOf
+    import graft.streaming.StreamingAsOf.{Enriched, StreamSnap, StreamTurn}
+    implicit val sqlCtx = spark.sqlContext
+    val turns = MemoryStream[StreamTurn]
+    val snaps = MemoryStream[StreamSnap]
+    val out = StreamingAsOf.enrich(turns.toDS(), snaps.toDS())
+    // default trigger (not AvailableNow): the query must stay alive across
+    // the two addData phases so state carries between micro-batches
+    val q = out.writeStream
+      .format("memory").queryName("asof_out")
+      .outputMode("append")
+      .start()
+    // phase 1: snapshot v1 at t=100 lands in state
+    snaps.addData(StreamSnap("c1", ts(100), 10L, Seq(1.0)))
+    q.processAllAvailable()
+    // phase 2: turns — t=50 predates v1 (event-time guard → null, even
+    // though state already holds v1!), t=100 equal-ts inclusive, t=150 after
+    turns.addData(
+      StreamTurn("c1", 1, ts(50)), StreamTurn("c1", 2, ts(150)),
+      StreamTurn("c1", 3, ts(100)))
+    q.processAllAvailable()
+    // phase 3: another turn still sees v1 (state carried across batches)
+    turns.addData(StreamTurn("c1", 4, ts(180)))
+    q.processAllAvailable()
+    // phase 4: newer snapshot v2 at t=200, then a later turn sees v2
+    snaps.addData(StreamSnap("c1", ts(200), 20L, Seq(2.0)))
+    q.processAllAvailable()
+    turns.addData(StreamTurn("c1", 5, ts(250)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_out").as[Enriched].collect()
+      .map(e => e.turn_idx -> Option(e.f_vec).map(_.head)).toMap
+    assert(got(1L).isEmpty, "turn before any admissible snapshot must be null")
+    assert(got(3L).contains(1.0), "equal-ts snapshot applies (inclusive bound)")
+    assert(got(2L).contains(1.0))
+    assert(got(4L).contains(1.0), "state carries v1 across micro-batches")
+    assert(got(5L).contains(2.0), "newer snapshot supersedes")
+  }
 }
