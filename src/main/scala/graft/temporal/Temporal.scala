@@ -66,6 +66,10 @@ object AsOf {
       s"as-of payload columns ${payload.filter(leftCols.contains)} collide with left columns")
     val payloadStruct = struct(payload.map(col): _*)
 
+    // the left timestamp IS __ts — shuffling it twice would add a redundant
+    // 12-byte field to every unioned row; it is restored from __ts after the
+    // merge (right rows null it out anyway)
+    val carried = leftCols.filterNot(c => c == key || c == leftTs)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // left AFTER right at equal ts => inclusive
@@ -82,12 +86,12 @@ object AsOf {
         lit(0).as("__side"),
         col(tiebreak).cast("long").as("__tie"),
         payloadStruct.as("__payload")
-      )) ++ leftCols.filterNot(_ == key).map(c => lit(null).cast(
+      )) ++ carried.map(c => lit(null).cast(
         left.schema(c).dataType).as(c)): _*)
 
-    val unioned = l.select((key +: leftCols.filterNot(_ == key)).map(col) ++
+    val unioned = l.select((key +: carried).map(col) ++
       Seq(col("__ts"), col("__side"), col("__tie"), col("__payload")): _*)
-      .unionByName(r.select((key +: leftCols.filterNot(_ == key)).map(col) ++
+      .unionByName(r.select((key +: carried).map(col) ++
         Seq(col("__ts"), col("__side"), col("__tie"), col("__payload")): _*))
 
     val w = Window
@@ -104,7 +108,10 @@ object AsOf {
     }
     val keep =
       if (keepOrder) Seq("__ts", "__side", "__tie").map(col) else Nil
-    out.select(leftCols.map(col) ++ payload.map(col) ++ keep: _*)
+    val restored = leftCols.map(c =>
+      if (c == leftTs) col("__ts").cast(left.schema(leftTs).dataType).as(leftTs)
+      else col(c))
+    out.select(restored ++ payload.map(col) ++ keep: _*)
   }
 
   /** The ordering columns emitted under `keepOrder = true`; window operators
@@ -161,7 +168,9 @@ object AsOf {
     )) ++ leftCols.filterNot(_ == key).map(c =>
       lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val cols = (key +: leftCols.filterNot(_ == key)).map(col) ++
+    // as in asofJoin: don't shuffle the left timestamp twice
+    val carried = leftCols.filterNot(c => c == key || c == leftTs)
+    val cols = (key +: carried).map(col) ++
       Seq(col("__ts"), col("__side"), col("__tie"), col("__payload"))
     val unioned = l.select(cols: _*).unionByName(r.select(cols: _*))
       .withColumn("__bucket", bucketOf(col("__ts")))
@@ -198,7 +207,10 @@ object AsOf {
     val out = payload.foldLeft(resolved) { (df, p) =>
       df.withColumn(p, col("__final").getField(p))
     }
-    out.select(leftCols.map(col) ++ payload.map(col): _*)
+    val restored = leftCols.map(c =>
+      if (c == leftTs) col("__ts").cast(left.schema(leftTs).dataType).as(leftTs)
+      else col(c))
+    out.select(restored ++ payload.map(col): _*)
   }
 }
 
