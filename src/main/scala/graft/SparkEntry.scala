@@ -1144,8 +1144,8 @@ object SparkEntry {
         |  SELECT b, x, y,
         |    CASE WHEN u < 0.368 THEN 0 WHEN u < 0.736 THEN 1 ELSE 2 END AS w
         |  FROM (SELECT b, x, y,
-        |          CAST((rk * 1103515245 + 40503 * b + 12345) % 2147483648
-        |            AS DOUBLE) / 2147483648.0 AS u
+        |          CAST(((rk % 2147483647) * 1103515245 + 40503 * b + 12345)
+        |            % 2147483648 AS DOUBLE) / 2147483648.0 AS u
         |        FROM src, bi)
         |), s AS (
         |  SELECT b,

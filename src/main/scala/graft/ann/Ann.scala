@@ -130,8 +130,11 @@ object Ann {
       iterations: Int = 5
   ): IvfModel = {
     val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
+    // bound the id BEFORE the LCG multiply: raw cid·1103515245 overflows a
+    // long under ANSI once ids pass ~8e9
     val seeded = c
-      .withColumn("__draw", pmod(col("cid") * 1103515245L + 12345L, lit(1L << 31)))
+      .withColumn("__draw", pmod(
+        pmod(col("cid"), lit(2147483647L)) * 1103515245L + 12345L, lit(1L << 31)))
       .orderBy(col("__draw"), col("cid"))
       .limit(nCentroids)
       .select(col("cv"))

@@ -28,10 +28,12 @@ object Ego {
   /** Deterministic uniform in [0,1) for (rowKey, b) from the same LCG family
     * as Ann.planeComponent — a closed form any SQL engine reproduces exactly
     * (no engine-private hashes), so bootstrap fits are oracle-verifiable.
-    * rowKey must stay below ~8·10^9 (no long overflow in the multiply).
+    * The key is bounded (mod 2^31−1) BEFORE the multiply so arbitrary row
+    * ids can never overflow a long under ANSI mode.
     */
   def bootUniform(rowKey: Column, b: Int): Column =
-    pmod(rowKey * lit(1103515245L) + lit(40503L * b + 12345L), lit(1L << 31))
+    pmod(pmod(rowKey, lit(2147483647L)) * lit(1103515245L) +
+      lit(40503L * b + 12345L), lit(1L << 31))
       .cast("double") / lit((1L << 31).toDouble)
 
   /** Deterministic Poisson(1)-ish bootstrap weight for (rowKey, b):
