@@ -511,6 +511,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    "q49_frame_offsets" -> ((s, dir) => {
+      // multimodal frame sampling: every stride-th byte offset of the
+      // payload, capped at maxFrames — the partition/limit shape of real
+      // video frame extraction (payload here = UTF-8 text bytes, as in q35)
+      import graft.multimodal.Multimodal
+      val assets = Multimodal.assetsFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val offs = Multimodal.sampleFrameOffsets(
+        length(col("payload")).cast("long"), stride = 7, maxFrames = 5)
+      assets.select(col("asset_id"),
+        size(offs).cast("long").as("n_frames"),
+        element_at(offs, 1).as("first_off"),
+        element_at(offs, -1).as("last_off"))
+    }),
+
     "q25_ego_rank" -> ((s, dir) => {
       // fully oracle-verified EGO: LCG bootstrap weights + exact integer
       // sufficient statistics (quantity is integer-valued, price quantized
@@ -958,6 +973,17 @@ object SparkEntry {
          |        WHEN lang = 'de' THEN 0.25
          |        ELSE 0.1 END) * 1000.0)""".stripMargin
     },
+
+    "q49_frame_offsets" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    (CASE WHEN octet_length(encode(text)) = 0 THEN [CAST(0 AS BIGINT)]
+        |          ELSE range(0, octet_length(encode(text)), 7) END)[1:5] AS offs
+        |  FROM documents
+        |)
+        |SELECT asset_id, CAST(len(offs) AS BIGINT) AS n_frames,
+        |  offs[1] AS first_off, offs[-1] AS last_off
+        |FROM a""".stripMargin,
 
     "q26_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
