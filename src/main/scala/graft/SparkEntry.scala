@@ -496,6 +496,11 @@ object SparkEntry {
         round(element_at(col("feature"), 4), 6).as("f3"))
     }),
 
+    "q50_simhash_pairs" -> ((s, dir) => {
+      graft.text.Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, blockCap = 256)
+    }),
+
     "q47_dedup_docs" -> ((s, dir) => {
       // end-to-end keep-list: exact dups + near-dups clustered, min id kept
       graft.text.Dedup.dedupDocs(Tables.load(s, dir, "documents"),
@@ -936,6 +941,25 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM p)
          |WHERE rank <= 3""".stripMargin
+    },
+
+    "q50_simhash_pairs" -> {
+      val th = s"list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})"
+      s"""WITH t AS (SELECT doc_id, $th AS th FROM documents),
+         |sg AS (SELECT doc_id, ${OracleSqlGen.simhash("th")} AS sig FROM t),
+         |banded AS (
+         |  SELECT doc_id, sig, unnest([
+         |    'lo:' || CAST(sig % 256 AS VARCHAR),
+         |    'hi:' || CAST(sig // 256 AS VARCHAR)]) AS bkey
+         |  FROM sg
+         |), capped AS (
+         |  SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY bkey) <= 256
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.sig, b.sig)) AS hamming
+         |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
     },
 
     "q47_dedup_docs" -> {
