@@ -501,6 +501,19 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 3, blockCap = 256)
     }),
 
+    "q51_contamination" -> ((s, dir) => {
+      // decontamination check: which "benchmark" docs (a deterministic
+      // sample) leak into the training corpus — exact + near matches
+      val docs = Tables.load(s, dir, "documents")
+      val bench = graft.text.Sampling.stratified(docs, "doc_id", "lang",
+        Map("en" -> 0.2), defaultRate = 0.1, salt = "bench")
+      graft.text.Dedup.contaminationPairs(
+        docs, "doc_id", bench, "doc_id", "text",
+        blockKey = col("lang"), shingleN = 3, threshold = 0.8)
+        .select(col("train_id"), col("bench_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "q47_dedup_docs" -> ((s, dir) => {
       // end-to-end keep-list: exact dups + near-dups clustered, min id kept
       graft.text.Dedup.dedupDocs(Tables.load(s, dir, "documents"),
@@ -960,6 +973,21 @@ object SparkEntry {
          |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          |)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+    },
+
+    "q51_contamination" -> {
+      val sh = OracleSqlGen.shingleHashes("text", 3)
+      val h = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':bench')")
+      s"""WITH s AS (SELECT doc_id, lang, $sh AS sh FROM documents),
+         |bench AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE $h % 1000 < round(
+         |    (CASE WHEN lang = 'en' THEN 0.2 ELSE 0.1 END) * 1000.0)
+         |), b AS (SELECT s.* FROM s JOIN bench USING (doc_id))
+         |SELECT a.doc_id AS train_id, b2.doc_id AS bench_id,
+         |  round(${OracleSqlGen.jaccard("a.sh", "b2.sh")}, 6) AS jaccard
+         |FROM s a JOIN b b2 ON a.lang = b2.lang
+         |WHERE ${OracleSqlGen.jaccard("a.sh", "b2.sh")} >= 0.8""".stripMargin
     },
 
     "q47_dedup_docs" -> {

@@ -292,6 +292,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-table exact n-gram Jaccard — the CONTAMINATION CHECK of a
+    * training pipeline: which benchmark/eval documents appear (exactly or
+    * near-exactly) in the training corpus. Same PPJoin prefix-filtering
+    * shape as [[ngramJaccardPairs]], generalized to two tables:
+    *
+    *  1. shingle document-frequencies over the UNION of both sides (the
+    *     prefix theorem needs one consistent global rarity order);
+    *  2. each side keeps its floor((1−t)·|A|)+1 rarest shingles; candidates
+    *     come from the equi-join of the two prefix sets;
+    *  3. exact size-ratio prune, then id-only candidates re-fetch payloads
+    *     and pay one sorted-merge intersection per surviving pair.
+    *
+    * Returns (train_id, bench_id, jaccard ≥ threshold). At 100 TB the train
+    * side never self-joins and only prefix rows shuffle.
+    */
+  def contaminationPairs(
+      train: DataFrame,
+      trainId: String,
+      bench: DataFrame,
+      benchId: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    def prep(df: DataFrame, id: String) = materialize(
+      df.select(col(id).as("id"), blockKey.as("blk"),
+        array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .where(col("sz") > 0))
+    val tp = prep(train, trainId)
+    val bp = prep(bench, benchId)
+    def long(df: DataFrame) = df.select(col("id"), col("blk"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val freq = long(tp).unionByName(long(bp))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    def prefix(df: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+      long(df).join(freq, Seq("shingle"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+        .select(col("shingle"), col("blk"), col("id"), col("sz"))
+    }
+    val cand = prefix(tp).as("a")
+      .join(prefix(bp).as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double"))
+      .select(col("a.id").as("train_id"), col("b.id").as("bench_id"))
+      .distinct()
+    val pa = tp.select(col("id").as("train_id"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val pb = bp.select(col("id").as("bench_id"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    cand.join(pa, Seq("train_id")).join(pb, Seq("bench_id"))
+      .select(col("train_id"), col("bench_id"), col("sz_a"), col("sz_b"),
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double").as("inter"))
+      .select(col("train_id"), col("bench_id"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Embedding cosine near-dup pairs within LSH sign-buckets (see Ann). */
   def embeddingPairs(
       df: DataFrame,
