@@ -35,6 +35,7 @@ object Bench {
     (1 to warmups).foreach { _ =>
       SparkEntry.queries.foreach { case (_, fn) =>
         try force(fn(spark, sfDir)) catch { case _: Throwable => }
+        graft.text.Dedup.releaseCache()
       }
     }
 
@@ -42,7 +43,11 @@ object Bench {
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir))
       catch { case t: Throwable => System.err.println(s"[bench] $name: ${t.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // bound cache growth across the 50-query loop (prep frames are scoped
+      // to one query; releasing them is untimed bookkeeping)
+      graft.text.Dedup.releaseCache()
+      name -> dt
     }
 
     // flagship transcript pipeline (input synthesized once, reused);

@@ -598,9 +598,9 @@ object SparkEntry {
 
     "q05_rolling" ->
       """SELECT event_id, user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS clicks_10,
+        |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS clicks_10,
         |  sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 10000.0 AS val_5
@@ -615,8 +615,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sess AS (
         |  SELECT user_id, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM gapped
         |)
         |SELECT user_id, session_idx, count(*) AS n_events,
@@ -969,7 +969,7 @@ object SparkEntry {
          |  SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY bkey) <= 256
          |), pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    bit_count(xor(a.sig, b.sig)) AS hamming
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          |)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin

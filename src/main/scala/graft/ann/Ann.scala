@@ -68,7 +68,7 @@ object Ann {
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
 
@@ -108,7 +108,7 @@ object Ann {
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
 
@@ -211,7 +211,7 @@ object Ann {
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
 }

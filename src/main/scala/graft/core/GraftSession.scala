@@ -35,6 +35,22 @@ object GraftSession {
   def local(cpus: Int): SparkSession = {
     val s = builder(s"local[$cpus]", 4 * cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    ensureCheckpointDir(s)
     s
   }
+
+  /** Iterative operators ([[graft.text.Dedup.resolveClusters]]) need a
+    * reliable checkpoint dir to survive executor loss on a real cluster —
+    * without one they fall back to `localCheckpoint`, which kills the job if
+    * the caching executor dies. Point it at scratch space by default
+    * (override with `SPARK_GRAFT_CHECKPOINT_DIR`; on a cluster set it to the
+    * lake scratch path on shared storage).
+    */
+  def ensureCheckpointDir(s: SparkSession): Unit =
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = sys.env.getOrElse(
+        "SPARK_GRAFT_CHECKPOINT_DIR",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt")
+      s.sparkContext.setCheckpointDir(dir)
+    }
 }

@@ -127,7 +127,7 @@ object Ego {
 
   /** EI ranking over the search space: for each candidate row, evaluate all
     * B models as columns, then
-    *   mean  = avg_b ŷ_b,  Pi = (#{b: ŷ_b > y*} + 1e-9)/B,
+    *   mean  = avg_b ŷ_b,  Pi = #{b: ŷ_b > y*}/B,
     *   L = max(0, mean − y*),  EI = L·Pi  (multiplyego.py:166-216).
     */
   def rank(space: DataFrame, model: Model, yStar: Double): DataFrame = {

@@ -211,8 +211,10 @@ object BackForward {
   ): (Seq[Int], Double) = {
     val rnd = new Random(seed)
     val d = grams.features.size
+    // reference parity: score_pri (backforward.py:160-163) returns -inf for
+    // subsets of size <= 1, so the search can never settle on a singleton
     def score(s: Seq[Int]): Double =
-      if (s.isEmpty) graft.expr.Scoring.worst else grams.cvR2(s)
+      if (s.size <= 1) graft.expr.Scoring.worst else grams.cvR2(s)
 
     // sub_slice (backforward.py:117-133): tolerance-accepting backward sweep
     def subSlice(s: List[Int]): (List[Int], Double) = {

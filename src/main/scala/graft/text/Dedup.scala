@@ -24,9 +24,27 @@ object Dedup {
     * persist keeps lineage intact (an executor loss recomputes the lost
     * partitions — unlike localCheckpoint, which kills the job on a real
     * cluster); the caching effect is identical in-session.
+    *
+    * Every frame persisted here is tracked so long-lived sessions (a bench
+    * loop running 50+ queries) can bound cache growth with [[releaseCache]]
+    * instead of waiting for the GC-driven ContextCleaner.
     */
-  private def materialize(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val cachedPreps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def materialize(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedPreps += p
+    p
+  }
+
+  /** Unpersist every prep frame cached by the pair generators so far. Call
+    * after the pair DataFrame has been materialized (written / collected) —
+    * the lazily-returned pair frames hold the persist for correctness of
+    * their multiple scans, so the caller owns the release point.
+    */
+  def releaseCache(): Unit = synchronized {
+    cachedPreps.foreach(_.unpersist(false))
+    cachedPreps.clear()
+  }
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct
     * `textCol`. Digest-keyed shuffle; returns kept ids + group sizes.
@@ -69,35 +87,45 @@ object Dedup {
     var labels = truncated(
       edges.select(col("a").as("id")).distinct()
         .withColumn("label", col("id")))
-    // labels are monotone non-increasing, so the label sum strictly
-    // decreases every non-converged round: comparing sums detects the
-    // fixpoint with ONE cheap aggregate instead of a join per round.
-    // decimal(38,0) keeps the sum EXACT at any scale — a long sum of
-    // billions of large ids would overflow (ANSI throws), and a double sum
-    // could swallow a 1-row change and declare a false fixpoint
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
+    var doJump = true
     while (!converged && round < maxRounds) {
       round += 1
-      // (a) neighbor-min
+      // (a) neighbor-min: every node takes min(own, neighbors') label
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nbr_min"))
       val step = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // (b) pointer jump: label := label(label)
-      val jumped = truncated(step
-        .join(step.select(col("id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label")))
-      val s = labelSum(jumped)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      // (b) pointer jump (label := label(label)) accelerates long chains —
+      // purely an optimization over plain propagation, so it is skipped once
+      // a round moves <5% of the labels (the tail is short chains and the
+      // extra self-join costs more than it saves)
+      val next =
+        if (doJump)
+          step.join(step.select(col("id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+            .select(col("id"), col("old_label"),
+              coalesce(col("ll"), col("label")).as("label"))
+        else step
+      // ONE action per round: the checkpoint job both materializes the new
+      // labels and (via observe) counts how many changed — type-agnostic
+      // (string/UUID ids work; no numeric cast) and exact, so the fixpoint
+      // test is `changed == 0` with no second pass and no overflow concerns
+      val obs = org.apache.spark.sql.Observation()
+      val jumped = truncated(
+        next.observe(obs,
+          sum(when(col("label") === col("old_label"), 0L).otherwise(1L))
+            .as("changed"),
+          count(lit(1)).as("n"))
+          .select(col("id"), col("label")))
+      val m = obs.get
+      val changed = Option(m("changed")).fold(0L)(_.asInstanceOf[Long])
+      val n = Option(m("n")).fold(0L)(_.asInstanceOf[Long])
+      converged = changed == 0L
+      doJump = changed * 20L > n
       labels = jumped
     }
     edges.unpersist()
@@ -183,14 +211,22 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.7
   ): DataFrame = {
-    val keepers = df
-      .select(col(idCol).as("id"), md5(col(textCol)).as("__md5"))
-      .withColumn("__keeper",
-        min(col("id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__md5"))))
+    // ONE scan of the raw documents feeds both edge generators: the md5
+    // digest (exact edges, all docs incl. shingle-less short ones) and the
+    // shingle sets (near edges) are computed side by side and cached once
+    val shared = materialize(df.select(
+      col(idCol).as("id"), blockKey.as("blk"),
+      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"),
+      md5(col(textCol)).as("__md5"))
+      .withColumn("sz", size(col("sh"))))
+    val keepers = shared.withColumn("__keeper",
+      min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__md5"))))
     val exactEdges = keepers.where(col("id") =!= col("__keeper"))
       .select(col("__keeper").as("id_a"), col("id").as("id_b"))
-    val nearEdges = ngramJaccardPairs(df, idCol, textCol, blockKey, shingleN, threshold)
+    val nearEdges = jaccardFromPrepped(
+      shared.where(col("sz") > 0).select(col("id"), col("blk"), col("sh"), col("sz")),
+      threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = resolveClusters(exactEdges.unionByName(nearEdges))
     df.select(col(idCol))
@@ -262,6 +298,17 @@ object Dedup {
       // materialized once: reused by the frequency pass, the prefix join
       // (both sides) and the verification payload re-fetch (both sides)
       .transform(materialize)
+    jaccardFromPrepped(prepped, threshold)
+  }
+
+  /** PPJoin core over an already-prepped (id, blk, sh, sz) frame — shared by
+    * [[ngramJaccardPairs]] and [[dedupDocs]] so the latter's one cached scan
+    * feeds both its exact and near edge generators.
+    */
+  private def jaccardFromPrepped(
+      prepped: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     val long = prepped.select(col("id"), col("blk"), col("sz"),
       explode(col("sh")).as("shingle"))
     val freq = long.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

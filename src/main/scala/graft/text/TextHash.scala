@@ -89,7 +89,8 @@ object TextHash {
   }
 
   /** Hamming distance between two simhash values (bit_count of xor). */
-  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** Document fingerprint: rolling hash over the SORTED DISTINCT token
     * hashes — invariant to token order and repetition (the classic

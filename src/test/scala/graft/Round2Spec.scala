@@ -122,16 +122,18 @@ class Round2Spec extends GraftSuite {
   test("BackForward accepts within-tolerance drops (backforward.py:117-133)") {
     val rnd = new Random(33)
     val rows = (1 to 300).map { _ =>
-      val x0 = rnd.nextDouble(); val x1 = rnd.nextDouble()
-      (x0, x1, x0 + 0.001 * x1 + rnd.nextGaussian() * 1e-6)
+      val x0 = rnd.nextDouble(); val x1 = rnd.nextDouble(); val x2 = rnd.nextDouble()
+      (x0, x1, x2, x0 + x2 + rnd.nextGaussian() * 1e-6)
     }
-    val df = rows.toDF("x0", "x1", "y")
-    val grams = GramCV.fit(df, Seq("x0", "x1"), "y", 3,
+    val df = rows.toDF("x0", "x1", "x2", "y")
+    val grams = GramCV.fit(df, Seq("x0", "x1", "x2"), "y", 3,
       Seq(col("x0"))) // deterministic fold hash of x0
-    // x1 contributes ~1e-6 of R²: a tolerance-accepting backward sweep MUST
-    // drop it; the old strict-improvement guard kept it forever
+    // x1 is pure noise: a tolerance-accepting backward sweep MUST drop it
+    // (the old strict-improvement guard kept it forever). Reference parity
+    // (score_pri, backforward.py:160-163): size<=1 scores -inf, so the
+    // sweep can never shrink the support below two features.
     val (subset, score) = BackForward.search(grams, seed = 0L, tolerance = 0.01)
-    assert(subset == Seq(0), s"expected within-tolerance drop of x1, got $subset")
+    assert(subset == Seq(0, 2), s"expected within-tolerance drop of x1, got $subset")
     assert(score > 0.99)
   }
 

@@ -8,6 +8,7 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = graft.core.GraftSession.builder("local[4]", 4).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.core.GraftSession.ensureCheckpointDir(s)
     s
   }
 }
