@@ -42,6 +42,16 @@ object SparkEntry {
 
   // ----- shared derived views (must stay in lockstep with the oracle SQL) --
 
+  /** q24's synthesized search input (see the q24 entry for the rationale). */
+  private[graft] def q24Frame(s: SparkSession): DataFrame =
+    s.range(0, 2000, 1, 1).select(
+      col("id"),
+      (pmod(col("id") * 1103515245L + 12345L, lit(1048576L)).cast("double")
+        / 1048576.0).as("x0"),
+      (pmod(col("id") * 69069L + 1L, lit(1048576L)).cast("double")
+        / 1048576.0).as("x1"))
+      .withColumn("y", col("x0") * col("x0") + lit(5.0) * col("x1"))
+
   /** Snapshot side for the as-of query: purchase events deduped to one row
     * per (user_id, ts), keeping the value of the highest event_id.
     */
@@ -353,18 +363,24 @@ object SparkEntry {
     // no SQL oracle (driver records rows-only checks) ------------------------
     "q24_symbolic_search" -> ((s, dir) => {
       import graft.expr._
-      val d = li(s, dir).select(
-        col("l_quantity").as("x0"), col("l_discount").as("x1"),
-        (col("l_quantity") * col("l_quantity") +
-          lit(5.0) * col("l_discount")).as("y"))
+      // Deterministic, SF-INDEPENDENT search input so the seeded GP run has
+      // one reproducible winner the DuckDB oracle can hard-code: LCG
+      // features on a 2^20 grid (exact integer arithmetic → bit-identical
+      // cross-engine), y = x0² + 5·x1, ONE partition so every aggregation
+      // accumulates in row order exactly like the oracle's sequential scan.
+      // Output = the hall winner's per-row prediction A·f+B (the same
+      // closed-form OLS the oracle re-derives from the same sums), which
+      // oracles the full search loop end-to-end: a different winner or a
+      // different fit would change every row.
+      val d = q24Frame(s)
       val reg = Registry(terminals = Map(
         "x0" -> (col("x0"), Dim.dless), "x1" -> (col("x1"), Dim.dless)))
       val res = graft.search.SymbolicSearch.fit(d, reg, col("y"),
         graft.search.SymbolicSearch.Config(popSize = 30, nGen = 4, maxHeight = 3,
           reTree = 2)) // elite-subtree re-add live in the driver run
-      s.createDataFrame(res.hall.take(5).map(h =>
-        (h.expr.render, math.rint(h.score * 100) / 100)))
-        .toDF("expr", "score")
+      d.select(col("id"), col("y"),
+        round(graft.search.SymbolicSearch.predictCol(res.best, res.registry), 6)
+          .as("pred"))
     }),
 
     "q43_score_batch" -> ((s, dir) => {
@@ -558,6 +574,32 @@ object SparkEntry {
       graft.search.Ego.rank(space, model, yStar = 6000000.0) // y* = $60k in cents
         .orderBy(col("ei").desc, col("x").asc).limit(10)
         .select(col("x"), round(col("ei") / 100.0, 2).as("ei"))
+    }),
+
+    "q53_weighted_quantile" -> ((s, dir) => {
+      // frequency-weight exact quantile (weightedQuantile): the oracle
+      // replays the same weighted-CDF walk with window cumsums — exact
+      // cross-engine because l_quantity weights are integral, so every
+      // cumulative sum is an exact integer in double arithmetic
+      val x = col("l_extendedprice"); val w = col("l_quantity")
+      li(s, dir).groupBy(col("l_returnflag")).agg(
+        round(WeightedStats.weightedQuantile(x, w, 0.5), 6).as("wq50"),
+        round(WeightedStats.weightedQuantile(x, w, 0.25), 6).as("wq25"))
+    }),
+
+    "q52_ivf_topk" -> ((s, dir) => {
+      // IVF ANN with the deterministic sampling quantizer (iterations = 0:
+      // centroids are the nCentroids corpus vectors with the smallest LCG
+      // draw — exact integer arithmetic, so the oracle reproduces them
+      // bit-for-bit; Lloyd refinement is float-sum-order dependent and is
+      // verified by Round2Spec's nProbe=nList exactness instead)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val corpus = e.select(col("vec_id").as("cid"), col("vec"))
+      val model = graft.ann.Ann.ivfTrain(corpus, nCentroids = 8, iterations = 0)
+      graft.ann.Ann.ivfTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec")),
+        corpus, model, k = 3, nProbe = 2)
     })
   )
 
@@ -845,6 +887,33 @@ object SparkEntry {
         |  round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS gmin
         |FROM embeddings""".stripMargin,
 
+    "q24_symbolic_search" ->
+      // The GP search itself is driver-side (seeded RNG, deterministic); its
+      // INPUT is SF-independent (LCG grid, q24Frame) and single-partition,
+      // so the winning expression `(x1 + (x1 + x1))` and its closed-form
+      // A·f+B fit are frozen by the seed. The oracle re-derives A and B from
+      // the same sufficient sums with the same IEEE op tree (q43 pattern) —
+      // any change to the search's outcome changes every output row.
+      """WITH d AS (
+        |  SELECT i AS id,
+        |    CAST((i*1103515245 + 12345) % 1048576 AS DOUBLE)/1048576.0 AS x0,
+        |    CAST((i*69069 + 1) % 1048576 AS DOUBLE)/1048576.0 AS x1
+        |  FROM range(2000) t(i)
+        |), f AS (
+        |  SELECT id, x0*x0 + 5.0*x1 AS y, (x1 + (x1 + x1)) AS f FROM d
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(f) AS sf, sum(f*f) AS sff,
+        |    sum(y) AS sy, sum(f*y) AS sfy
+        |  FROM f
+        |), p AS (
+        |  SELECT CASE WHEN abs(n*sff - sf*sf) < 1e-300 THEN 0.0
+        |              ELSE (n*sfy - sf*sy)/(n*sff - sf*sf) END AS a,
+        |         CASE WHEN abs(n*sff - sf*sf) < 1e-300 THEN sy/n
+        |              ELSE (sy - (n*sfy - sf*sy)/(n*sff - sf*sf)*sf)/n END AS b
+        |  FROM s
+        |)
+        |SELECT id, y, round(f*a + b, 6) AS pred FROM f, p""".stripMargin,
+
     "q43_score_batch" -> {
       // mirrors Scoring.scoreChunk exactly: ok-mask (null/NaN/Inf → row
       // dropped), n<total or n<2 → worst (-1), closed-form A·f+B OLS, r2
@@ -973,6 +1042,76 @@ object SparkEntry {
          |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          |)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+    },
+
+    "q53_weighted_quantile" -> {
+      // same virtual-index interpolation as WeightedStats.weightedQuantile:
+      // h = q·(W−1) over the (v,w)-sorted weighted CDF; vlo/vhi = first v
+      // whose cumulative weight exceeds floor(h)/ceil(h). v ascends with
+      // cum, so min(v | cum > h) is that first value.
+      def one(q: String, nm: String) =
+        s"""round(min(CASE WHEN cum > floor($q*(tw-1.0)) THEN v END)
+           |  + ($q*(tw-1.0) - floor($q*(tw-1.0)))
+           |    * (min(CASE WHEN cum > ceil($q*(tw-1.0)) THEN v END)
+           |       - min(CASE WHEN cum > floor($q*(tw-1.0)) THEN v END)), 6)
+           |  AS $nm""".stripMargin
+      s"""WITH s AS (
+         |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         |    CAST(l_quantity AS DOUBLE) AS w
+         |  FROM lineitem
+         |), c AS (
+         |  SELECT l_returnflag, v, w,
+         |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v, w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM s
+         |), t AS (
+         |  SELECT *, max(cum) OVER (PARTITION BY l_returnflag) AS tw FROM c
+         |)
+         |SELECT l_returnflag,
+         |  ${one("0.5", "wq50")},
+         |  ${one("0.25", "wq25")}
+         |FROM t GROUP BY l_returnflag, tw""".stripMargin
+    },
+
+    "q52_ivf_topk" -> {
+      // mirrors Ann.ivfTrain(iterations=0) + ivfTopK exactly: centroids =
+      // the 8 corpus vectors with the smallest LCG draw (exact integers);
+      // corpus rows assign to argmax-cosine centroid (tie → smaller list
+      // id, Spark's greatest(struct(s, -i))); queries probe their top-2
+      // centroids (tie → LARGER list id, Spark's reverse(array_sort));
+      // exact rerank inside the probed lists
+      val cosEC = OracleSqlGen.cosine("e.v", "c.v")
+      val cosQC = OracleSqlGen.cosine("q.v", "c.v")
+      val draw = "((vec_id % 2147483647) * 1103515245 + 12345) % 2147483648"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ctr AS (
+         |  SELECT row_number() OVER (ORDER BY $draw, vec_id) - 1 AS li, v
+         |  FROM e QUALIFY li <= 7
+         |),
+         |assign AS (
+         |  SELECT cid, li, v FROM (
+         |    SELECT e.vec_id AS cid, c.li, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.li ASC) AS rn
+         |    FROM e, ctr c) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT qid, li, v FROM (
+         |    SELECT q.vec_id AS qid, c.li, q.v,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosQC DESC, c.li DESC) AS rn
+         |    FROM e q, ctr c WHERE q.vec_id < 20) WHERE rn <= 2
+         |),
+         |p AS (
+         |  SELECT q.qid, x.cid, round(${OracleSqlGen.cosine("q.v", "x.v")}, 6) AS cos
+         |  FROM probes q JOIN assign x ON q.li = x.li
+         |  WHERE q.qid <> x.cid
+         |)
+         |SELECT qid, cid, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank FROM p)
+         |WHERE rank <= 3""".stripMargin
     },
 
     "q51_contamination" -> {

@@ -51,3 +51,49 @@ object Dim {
   def of(exps: (Int, Double)*): Dim =
     Dim(exps.foldLeft(Vector.fill(7)(0.0)) { case (v, (i, e)) => v.updated(i, e) })
 }
+
+/** The reference's five `score_dim` acceptance modes (symbol/calculation/
+  * scores.py:280-301) as canned predicates for `selKbestDim` /
+  * `SymbolicSearch.Config.dimPolicy` — a reference user's `dim_type`
+  * argument maps 1:1:
+  *
+  *  - `dim_type=None`      → [[any]]
+  *  - `dim_type='integer'` → [[integer]] (all exponents integral)
+  *  - `dim_type='coef'`    → [[coef]] (no NaN — any well-formed dim)
+  *  - `dim_type=Dim`       → [[exact]] (fuzzy=False) / [[sameBase]] (fuzzy=True)
+  *  - `dim_type=[Dim,...]` → [[oneOf]]
+  */
+object DimPolicy {
+  /** dim_type None: everything scores 1. */
+  val any: DimT => Boolean = _ => true
+
+  /** 'integer': every exponent has zero fractional part (dimfunc.py:234-235);
+    * the NaN sentinel fails (np.modf(nan) is truthy in np.any).
+    */
+  val integer: DimT => Boolean = {
+    case Dim(v) => v.forall(e => e == math.floor(e))
+    case _      => false
+  }
+
+  /** 'coef': accepted unless any exponent is NaN (dimfunc.py:226-227). */
+  val coef: DimT => Boolean = !_.isNan
+
+  /** Exact dim equality (fuzzy=False branch). */
+  def exact(target: Dim): DimT => Boolean = _ == target
+
+  /** Fuzzy same-base (dimfunc.py:237-255): exponent vectors are parallel —
+    * other^‖self‖ == self^‖other‖ (so any power of the target base passes;
+    * dless is same-base with everything, exactly as the reference).
+    */
+  def sameBase(target: Dim): DimT => Boolean = {
+    case d: Dim =>
+      val x1 = math.sqrt(d.v.map(x => x * x).sum)
+      val x2 = math.sqrt(target.v.map(x => x * x).sum)
+      target.v.map(_ * x1) == d.v.map(_ * x2)
+    case _ => false
+  }
+
+  /** List form: exact membership. */
+  def oneOf(targets: Seq[Dim]): DimT => Boolean =
+    d => targets.exists(t => (t: DimT) == d)
+}

@@ -53,7 +53,11 @@ object SymbolicSearch {
       preMapRate: Double = 0.1,
       initFull: Boolean = true, // ramped half-and-half (grow/full mix, gp.py:159-206)
       reTree: Int = 0, // elite-subtree re-add width (flow.py:274-286); 0 = off
-      strategy: Strategy = MultiMutate
+      strategy: Strategy = MultiMutate,
+      // dim_type acceptance (scores.py:280-301): default 'coef' = reject
+      // only the NaN sentinel, exactly the previous hard-coded behavior;
+      // pass DimPolicy.exact/sameBase/integer/oneOf for the other modes
+      dimPolicy: graft.expr.DimT => Boolean = graft.expr.DimPolicy.coef
   )
 
   final case class Individual(expr: FeatureExpr, score: Double, fit: Scoring.Fit)
@@ -286,25 +290,42 @@ object SymbolicSearch {
       var stop = false
       val recent = scala.collection.mutable.Queue.empty[Double]
       val logbook = Vector.newBuilder[GenStats]
+      // Memoized scoring: GP populations repeat expressions heavily (the
+      // elite is re-inserted every generation, unmutated clones survive
+      // selection, subtrees recur), and scoring is a pure function of the
+      // expression over the cached frame — so each DISTINCT rendering is
+      // compiled/planned/scanned ONCE per run. Deterministic: the hall is
+      // bit-identical to unmemoized scoring, but generations 2+ pay Catalyst
+      // planning only for novel columns (the round-2 bench's per-generation
+      // planning cost). Keyed by render; safe because derived terminals are
+      // append-only (a render always compiles to the same column).
+      val memo = scala.collection.mutable.HashMap.empty[String, Scoring.Fit]
       while (gen < cfg.nGen && !stop) {
         gen += 1
         // dim typecheck prunes before any Spark work
         val typed = pop.map { e =>
           val d = Compiler.dimOf(e, curReg)
-          val ok = !d.isNan && (!cfg.requireDimless || d.isDless)
-          (e, ok)
+          val ok = cfg.dimPolicy(d) && (!cfg.requireDimless || d.isDless)
+          (e, ok, e.render)
         }
-        val named = typed.zipWithIndex.collect {
-          case ((e, true), i) => (s"c_$i", e)
+        // slot names c_0..c_k are reused every generation (name-stable
+        // select list), numbering only the distinct unseen renders
+        val novel = scala.collection.mutable.LinkedHashMap.empty[String, FeatureExpr]
+        typed.foreach { case (e, ok, r) =>
+          if (ok && !memo.contains(r) && !novel.contains(r)) novel(r) = e
         }
-        val compiled = named.map { case (n, e) => n -> Compiler.compile(e, curReg) }
-        val scores: Map[String, Scoring.Fit] =
-          if (compiled.isEmpty) Map.empty
-          else Scoring.scoreBatch(cached, y, compiled)
-        val scored = typed.zipWithIndex.map { case ((e, ok), i) =>
+        val compiled = novel.toVector.zipWithIndex.map { case ((r, e), i) =>
+          (s"c_$i", r, Compiler.compile(e, curReg))
+        }
+        if (compiled.nonEmpty) {
+          val scores = Scoring.scoreBatch(cached, y,
+            compiled.map { case (slot, _, c) => slot -> c })
+          compiled.foreach { case (slot, r, _) => memo(r) = scores(slot) }
+        }
+        val scored = typed.map { case (e, ok, r) =>
           if (!ok) Individual(e, Scoring.worst, Scoring.Fit(0, 0, Scoring.worst, Scoring.worst, 0))
           else {
-            val f = scores(s"c_$i")
+            val f = memo(r)
             Individual(e, f.r2, f)
           }
         }
@@ -353,7 +374,7 @@ object SymbolicSearch {
           // dim-valid individuals (flow.py:430-440 force_number semantics)
           val pool: Vector[Int] = cfg.strategy match {
             case DimForce =>
-              val ok = typed.zipWithIndex.collect { case ((_, true), i) => i }
+              val ok = typed.zipWithIndex.collect { case ((_, true, _), i) => i }
               if (ok.isEmpty) throw new IllegalStateException(
                 "DimForce: no individual satisfies the dim constraint in this " +
                   "population — change dim_type or use another loop strategy")

@@ -33,6 +33,7 @@ object StatRegistry {
       case "geom_std_dev" => WeightedStats.geomStdDev
       case "holder_mean"  => (x, w) => WeightedStats.holderMean(x, w, args.headOption.getOrElse(1.0))
       case "quantile"     => (x, _) => WeightedStats.quantile(x, args.headOption.getOrElse(0.5))
+      case "wquantile"    => (x, w) => WeightedStats.weightedQuantile(x, w, args.headOption.getOrElse(0.5))
       case "sorted"       => (x, _) => sort_array(collect_list(x)) // extrastats.py:299-305
       case "flatten"      => (x, _) => flatten(collect_list(x)) // ravel of array-valued x
       case "avg_dev" =>
@@ -46,7 +47,7 @@ object StatRegistry {
   val singlePass: Seq[String] = Seq(
     "minimum", "maximum", "range", "mean", "inverse_mean", "geom_mean",
     "harm_mean", "variance", "std_dev", "skewness", "kurtosis",
-    "geom_std_dev", "holder_mean::2", "quantile::0.5")
+    "geom_std_dev", "holder_mean::2", "quantile::0.5", "wquantile::0.5")
 
   /** Eigenvalues of a small symmetric matrix (extrastats.py:307-321) —
     * driver-side breeze on a collected matrix (the reference's use case is

@@ -142,7 +142,45 @@ object WeightedStats {
   }
 
   /** Exact quantile with linear interpolation — numpy/np.quantile parity.
-    * Spark's `percentile` implements exactly this.
+    * Spark's `percentile` implements exactly this. NOTE: the reference's
+    * PropertyStats.quantile (extrastats.py:330-349) receives weights from
+    * the dispatch but explicitly DISCARDS them (`_ = weights`) — this
+    * unweighted form IS the reference behavior.
     */
   def quantile(x: Column, q: Double): Column = percentile(x, lit(q))
+
+  /** Exact WEIGHTED quantile (frequency-weight semantics): equivalent to
+    * np.quantile over the list with each x repeated `w` times, so unit
+    * weights reduce to [[quantile]] exactly. Linear interpolation on the
+    * virtual index h = q·(W−1) over the weighted CDF.
+    *
+    * One custom aggregate per SURVEY §4: sort_array of (x,w) structs +
+    * two sequential folds — no UDAF, stays codegen-friendly. The per-group
+    * state is the collected (x,w) list, so use on groups that fit an
+    * executor (same contract as any exact quantile; at 100 TB cardinality
+    * use approx_percentile for the sketch path).
+    */
+  def weightedQuantile(x: Column, w: Column, q: Double): Column = {
+    val arr = sort_array(collect_list(struct(
+      x.cast("double").as("v"), w.cast("double").as("w"))))
+    // total weight via the SAME sequential fold order as the CDF walk (and
+    // as the oracle's cumulative window) — order-stable cross-engine
+    val total = aggregate(arr, lit(0.0), (acc, e) => acc + e.getField("w"))
+    val h = lit(q) * (total - lit(1.0))
+    val lo = floor(h)
+    val hi = ceil(h)
+    val st0 = struct(lit(0.0).as("cum"),
+      lit(null).cast("double").as("vlo"), lit(null).cast("double").as("vhi"))
+    val walked = aggregate(arr, st0, (st, e) => {
+      val cum = st.getField("cum") + e.getField("w")
+      struct(cum.as("cum"),
+        when(st.getField("vlo").isNull && cum > lo, e.getField("v"))
+          .otherwise(st.getField("vlo")).as("vlo"),
+        when(st.getField("vhi").isNull && cum > hi, e.getField("v"))
+          .otherwise(st.getField("vhi")).as("vhi"))
+    })
+    val vlo = walked.getField("vlo")
+    val vhi = walked.getField("vhi")
+    vlo + (h - lo) * (vhi - vlo)
+  }
 }

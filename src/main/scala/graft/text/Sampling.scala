@@ -13,17 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** THE keep-decision — the single quantization code path every sampling
+    * operator routes through (rate quantized to 1/1000ths, HALF_UP):
+    * hash(identity:salt) mod 1000 < round(rate·1000).
+    */
+  private def keepCol(identity: Column, rate: Column, salt: String): Column =
+    pmod(TextHash.polyHash(concat(identity.cast("string"), lit(":" + salt))),
+      lit(1000L)) < round(rate * 1000.0)
+
   /** Uniform deterministic keep-decision at `rate` for the given identity
     * expression; `salt` decorrelates independent samples of the same table.
-    * rate is quantized to 1/1000ths (hash mod 1000 < rate·1000).
     */
   def keepAtRate(identity: Column, rate: Double, salt: String): Column =
-    pmod(TextHash.polyHash(concat(identity.cast("string"), lit(":" + salt))),
-      lit(1000L)) < lit(math.round(rate * 1000.0))
+    keepCol(identity, lit(rate), salt)
 
   /** Stratified sample: per-stratum keep rates (e.g. language-balanced data
     * mixing). Strata missing from `rates` fall back to `defaultRate`.
     * One narrow scan, no shuffle — the filter composes with pushdown.
+    * Same quantization as [[keepAtRate]] by construction (shared keepCol).
     */
   def stratified(
       df: DataFrame,
@@ -36,9 +43,6 @@ object Sampling {
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, r)) => when(col(strataCol) === k, lit(r)).otherwise(acc)
     }
-    val hash = pmod(
-      TextHash.polyHash(concat(col(idCol).cast("string"), lit(":" + salt))),
-      lit(1000L))
-    df.where(hash < round(rate * 1000.0))
+    df.where(keepCol(col(idCol), rate, salt))
   }
 }

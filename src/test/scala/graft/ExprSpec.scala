@@ -143,4 +143,31 @@ class ExprSpec extends GraftSuite {
       Array(1.0, 5.0), Array(2.0, 4.0), Array(0.5, 0.5), Array(3.0, 1.0)))
     assert(front.toSet == Set(0, 1, 3))
   }
+
+  test("DimPolicy: the five score_dim modes (scores.py:280-301)") {
+    import graft.expr.{Dim, DimPolicy, DNan}
+    val len = Dim.of(0 -> 1.0)           // e.g. metres
+    val len2 = Dim.of(0 -> 2.0)          // metres^2 (same base, powered)
+    val halfLen = Dim.of(0 -> 0.5)       // metres^0.5 (same base, fractional)
+    val speed = Dim.of(0 -> 1.0, 2 -> -1.0)
+    // None: everything passes, even the NaN sentinel
+    assert(DimPolicy.any(len) && DimPolicy.any(DNan))
+    // 'integer': integral exponents only; dnan fails
+    assert(DimPolicy.integer(len) && DimPolicy.integer(len2))
+    assert(!DimPolicy.integer(halfLen) && !DimPolicy.integer(DNan))
+    assert(DimPolicy.integer(Dim.dless))
+    // 'coef': anything but the NaN sentinel
+    assert(DimPolicy.coef(len) && DimPolicy.coef(halfLen) && !DimPolicy.coef(DNan))
+    // exact (fuzzy=False)
+    assert(DimPolicy.exact(len)(len))
+    assert(!DimPolicy.exact(len)(len2) && !DimPolicy.exact(len)(DNan))
+    // fuzzy same-base: any power of the base passes, other bases fail;
+    // dless is same-base with everything (reference is_same_base parity)
+    assert(DimPolicy.sameBase(len)(len2) && DimPolicy.sameBase(len)(halfLen))
+    assert(!DimPolicy.sameBase(len)(speed) && !DimPolicy.sameBase(len)(DNan))
+    assert(DimPolicy.sameBase(len)(Dim.dless))
+    // list form: exact membership
+    val inList = DimPolicy.oneOf(Seq(len, speed))
+    assert(inList(len) && inList(speed) && !inList(len2) && !inList(DNan))
+  }
 }

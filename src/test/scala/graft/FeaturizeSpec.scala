@@ -130,4 +130,37 @@ class FeaturizeSpec extends GraftSuite {
       .head().getAs[Map[String, Double]]("m")
     assert(m == Map("a" -> 3.0, "b" -> 2.0, "c" -> 1.0))
   }
+
+  test("weighted quantile: frequency semantics, numpy parity at unit weights") {
+    import graft.stats.WeightedStats
+    // frequency expansion of ((1,w1),(2,w2),(3,w1)) = [1,2,2,3]:
+    // np.quantile([1,2,2,3], .5) = 2.0; .25 -> h=0.75 -> 1.75; .9 -> 2.7
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "w")
+    val r = df.agg(
+      WeightedStats.weightedQuantile($"x", $"w", 0.5).as("q50"),
+      WeightedStats.weightedQuantile($"x", $"w", 0.25).as("q25"),
+      WeightedStats.weightedQuantile($"x", $"w", 0.9).as("q90")).head()
+    assert(approx(r.getAs[Double]("q50"), 2.0))
+    assert(approx(r.getAs[Double]("q25"), 1.75))
+    assert(approx(r.getAs[Double]("q90"), 2.7))
+    // unit weights reduce EXACTLY to the unweighted percentile
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val dfu = vals.map((_, 1.0)).toDF("x", "w")
+    for (q <- Seq(0.1, 0.5, 0.77)) {
+      val both = dfu.agg(
+        WeightedStats.weightedQuantile($"x", $"w", q).as("wq"),
+        WeightedStats.quantile($"x", q).as("uq")).head()
+      assert(approx(both.getAs[Double]("wq"), both.getAs[Double]("uq")),
+        s"q=$q: ${both.getAs[Double]("wq")} vs ${both.getAs[Double]("uq")}")
+    }
+    // fractional weights: interpolation on the weighted CDF virtual index
+    // ((10,0.5),(20,1.5)): W=2, h(q=.5)=0.5; cum: 0.5, 2.0 -> vlo=10 (cum>0)
+    // ... vhi=20 (cum>1) -> 10 + 0.5*(20-10) = 15
+    val frac = Seq((10.0, 0.5), (20.0, 1.5)).toDF("x", "w")
+    val f = frac.agg(WeightedStats.weightedQuantile($"x", $"w", 0.5).as("q")).head()
+    assert(approx(f.getAs[Double]("q"), 15.0))
+    // dispatch path
+    val viaReg = df.agg(graft.stats.StatRegistry("wquantile::0.5")($"x", $"w").as("q")).head()
+    assert(approx(viaReg.getAs[Double]("q"), 2.0))
+  }
 }

@@ -452,6 +452,33 @@ class Round2Spec extends GraftSuite {
     assert(sA != s1.toSet)
   }
 
+  test("sampling: one quantization path; per-stratum rates within binomial bounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // keepAtRate and a rate-uniform stratified sample MUST select the exact
+    // same rows (shared keepCol — the drift the round-2 review flagged)
+    val viaKeep = docs.where(graft.text.Sampling.keepAtRate(col("doc_id"), 0.3, "s1"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val viaStrat = graft.text.Sampling
+      .stratified(docs, "doc_id", "lang", Map.empty, defaultRate = 0.3, salt = "s1")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(viaKeep == viaStrat)
+    // realized per-stratum rate lands within 4σ of the 1/1000-quantized
+    // target (binomial; deterministic data so this never flakes)
+    val rates = Map("en" -> 0.2, "zh" -> 0.1)
+    val kept = graft.text.Sampling.stratified(docs, "doc_id", "lang", rates, 0.15)
+    val tot = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptN = kept.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tot.foreach { case (lang, n) =>
+      val target = math.round(rates.getOrElse(lang, 0.15) * 1000.0) / 1000.0
+      val sigma = math.sqrt(target * (1 - target) / n)
+      val realized = keptN.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(realized - target) <= 4 * sigma + 1e-9,
+        s"$lang: realized $realized vs target $target (n=$n)")
+    }
+  }
+
   test("tokenCounts: one-pass sorted-run map matches naive counting") {
     val df = Seq("a b a c b a", "  x  ", "", "z z z").toDF("t")
     val got = df.select(graft.featurize.FormulaParser.tokenCounts(col("t")).as("m"))
