@@ -48,9 +48,13 @@ object GraftSession {
     */
   def ensureCheckpointDir(s: SparkSession): Unit =
     if (s.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = sys.env.getOrElse(
-        "SPARK_GRAFT_CHECKPOINT_DIR",
-        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt")
+      // prefer tmpfs locally: reliable-checkpoint writes land on the shuffle
+      // path every iteration, and the sandbox's virtio disk adds ±30%
+      // writeback noise (BASELINE.md §4) that would measure the box
+      val fallback =
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-ckpt"
+        else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"
+      val dir = sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", fallback)
       s.sparkContext.setCheckpointDir(dir)
     }
 }
