@@ -153,6 +153,71 @@ object Ego {
       .orderBy(col("ei").desc)
   }
 
+  /** The simple single-objective `ego.py` facade (featurebox/ego/ego.py:
+    * 37-117) — the closed-form Gaussian acquisition family over bootstrap
+    * mean/std, distributed over the search space:
+    *
+    *  - mean/std: np.mean / np.std (population, ddof=0) across the B
+    *    bootstrap predictions (ego.py:72-77);
+    *  - EGO:  z = (mean − max y)/std,  EI = std·z·Φ(z) + std·φ(z);
+    *  - KG:   z_kg = (mean − max(max mean, max y))/std, same EI form — the
+    *    global max of predicted means joins in as a broadcast 1-row agg (no
+    *    driver action, scales to any space size);
+    *  - MaxP: Φ((z − mean)/std) — the reference's exact loc/scale quirk
+    *    (`stats.norm.cdf(ego, loc=mean, scale=std)`, ego.py:85) is kept
+    *    verbatim for parity;
+    *  - ordering: ASCENDING argsort by the chosen score, exactly like the
+    *    reference (ego.py:106-115) — best-last.
+    *
+    * Φ comes from the native codegen [[graft.functions.Erf]] expression, so
+    * the whole acquisition stays inside whole-stage codegen.
+    */
+  def egoSearch(
+      space: DataFrame,
+      model: Model,
+      yMax: Double,
+      rankway: String = "ego"
+  ): DataFrame = {
+    require(Seq("ego", "kg", "maxp", "no").contains(rankway),
+      s"rankway must be ego|kg|maxp|no, got $rankway")
+    val preds = model.betas.zipWithIndex.map { case (beta, bi) =>
+      val terms = model.features.zipWithIndex.map { case (f, i) =>
+        col(f) * lit(beta(i))
+      } :+ lit(beta(model.features.size))
+      terms.reduce(_ + _).as(s"p_$bi")
+    }
+    val withPreds = space.select(space.columns.map(col) ++ preds: _*)
+    val arr = array(model.betas.indices.map(bi => col(s"p_$bi")): _*)
+    val b = model.betas.length.toDouble
+    val mean = aggregate(arr, lit(0.0), _ + _) / lit(b)
+    val m2 = aggregate(arr, lit(0.0), (acc, x) => acc + x * x) / lit(b)
+    val base = withPreds
+      .withColumn("pred_mean", mean)
+      .withColumn("pred_std", sqrt(greatest(m2 - mean * mean, lit(0.0))))
+      .drop(model.betas.indices.map(bi => s"p_$bi"): _*)
+    val mmax = base.agg(max(col("pred_mean")).as("__mean_max"))
+    def phi(z: Column): Column =
+      exp(negate(z * z) / 2.0) / lit(math.sqrt(2.0 * math.Pi))
+    def bigPhi(z: Column): Column =
+      (graft.functions.Erf(z / lit(math.sqrt(2.0))) + lit(1.0)) * 0.5
+    def eiOf(z: Column): Column =
+      col("pred_std") * z * bigPhi(z) + col("pred_std") * phi(z)
+    val zEgo = (col("pred_mean") - lit(yMax)) / col("pred_std")
+    val zKg = (col("pred_mean") -
+      greatest(col("__mean_max"), lit(yMax))) / col("pred_std")
+    val scored = base.crossJoin(broadcast(mmax))
+      .withColumn("ei_ego", eiOf(zEgo))
+      .withColumn("ei_kg", eiOf(zKg))
+      .withColumn("max_p", bigPhi((zEgo - col("pred_mean")) / col("pred_std")))
+      .drop("__mean_max")
+    rankway match {
+      case "no"   => scored
+      case "ego"  => scored.orderBy(col("ei_ego").asc)
+      case "kg"   => scored.orderBy(col("ei_kg").asc)
+      case "maxp" => scored.orderBy(col("max_p").asc)
+    }
+  }
+
   /** Pareto front of observed multi-objective points (maximization;
     * multiplyego.py:121-138). Driver-side: observed set is small.
     */

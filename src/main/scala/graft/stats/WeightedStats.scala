@@ -167,20 +167,24 @@ object WeightedStats {
     // as the oracle's cumulative window) — order-stable cross-engine
     val total = aggregate(arr, lit(0.0), (acc, e) => acc + e.getField("w"))
     val h = lit(q) * (total - lit(1.0))
-    val lo = floor(h)
-    val hi = ceil(h)
+    // CRITICAL: lo/hi ride in the fold's INITIAL state. Spark evaluates
+    // expressions referenced inside a higher-order-function lambda on EVERY
+    // element — an O(n) fold like `total` in the lambda body turns the walk
+    // into O(n²) (observed: q53 hung the bench at 200k-row groups). The
+    // zero/initial expression is evaluated once per group.
     val st0 = struct(lit(0.0).as("cum"),
+      floor(h).as("lo"), ceil(h).as("hi"),
       lit(null).cast("double").as("vlo"), lit(null).cast("double").as("vhi"))
     val walked = aggregate(arr, st0, (st, e) => {
       val cum = st.getField("cum") + e.getField("w")
-      struct(cum.as("cum"),
-        when(st.getField("vlo").isNull && cum > lo, e.getField("v"))
+      struct(cum.as("cum"), st.getField("lo").as("lo"), st.getField("hi").as("hi"),
+        when(st.getField("vlo").isNull && cum > st.getField("lo"), e.getField("v"))
           .otherwise(st.getField("vlo")).as("vlo"),
-        when(st.getField("vhi").isNull && cum > hi, e.getField("v"))
+        when(st.getField("vhi").isNull && cum > st.getField("hi"), e.getField("v"))
           .otherwise(st.getField("vhi")).as("vhi"))
     })
     val vlo = walked.getField("vlo")
     val vhi = walked.getField("vhi")
-    vlo + (h - lo) * (vhi - vlo)
+    vlo + (h - floor(h)) * (vhi - vlo)
   }
 }

@@ -144,6 +144,30 @@ class ExprSpec extends GraftSuite {
     assert(front.toSet == Set(0, 1, 3))
   }
 
+  test("egoSearch: single-objective EGO/KG/MaxP acquisitions (ego.py:37-117)") {
+    import breeze.linalg.DenseVector
+    val model = Ego.Model(Array(
+      DenseVector(1.0, 0.0), DenseVector(1.2, 0.1),
+      DenseVector(0.8, -0.1), DenseVector(1.0, 0.2)), Seq("x"))
+    val space = Seq(0.0, 1.0, 2.0).toDF("x")
+    val r = Ego.egoSearch(space, model, yMax = 1.5, rankway = "ego").collect()
+    // ASCENDING argsort by ei_ego (reference order, ego.py:106-110)
+    assert(r.map(_.getAs[Double]("x")).toSeq == Seq(0.0, 1.0, 2.0))
+    // expected values computed independently with exact math.erf
+    val top = r.last
+    assert(approx(top.getAs[Double]("pred_mean"), 2.05, 1e-9))
+    assert(approx(top.getAs[Double]("pred_std"), 0.3640054944640263, 1e-9))
+    assert(approx(top.getAs[Double]("ei_ego"), 0.560403975026175, 1e-5))
+    assert(approx(top.getAs[Double]("ei_kg"), 0.14521718204012973, 1e-5))
+    assert(approx(top.getAs[Double]("max_p"), 0.06932464389460541, 1e-5))
+    assert(approx(r(1).getAs[Double]("ei_ego"), 0.002141554512412297, 1e-5))
+    // the codegen erf kernel against exact reference values
+    import graft.functions.MathX
+    assert(math.abs(MathX.erf(0.5) - 0.5204998778130465) < 2e-7)
+    assert(math.abs(MathX.normCdf(1.0) - 0.8413447460685429) < 2e-7)
+    assert(math.abs(MathX.normCdf(-1.0) - 0.15865525393145705) < 2e-7)
+  }
+
   test("DimPolicy: the five score_dim modes (scores.py:280-301)") {
     import graft.expr.{Dim, DimPolicy, DNan}
     val len = Dim.of(0 -> 1.0)           // e.g. metres
