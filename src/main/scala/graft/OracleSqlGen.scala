@@ -83,6 +83,30 @@ object OracleSqlGen {
     terms.mkString("(", " + ", ")")
   }
 
+  /** erf via the Abramowitz–Stegun 7.1.26 rational approximation — the
+    * EXACT op sequence of `graft.functions.MathX.erf` (same Horner order,
+    * same constants), so the only cross-engine divergence is the final
+    * libm-vs-JVM `exp` ulp, absorbed by output rounding. `v` must be a
+    * cheap expression (a column): it is repeated textually.
+    */
+  def erf(v: String): String = {
+    val t = s"(1.0/(1.0 + 0.3275911*abs($v)))"
+    val poly = s"(((((1.061405429*$t - 1.453152027)*$t + 1.421413741)*$t" +
+      s" - 0.284496736)*$t + 0.254829592)*$t)"
+    s"((CASE WHEN $v < 0 THEN -1.0 ELSE 1.0 END)" +
+      s" * (1.0 - $poly * exp(-(abs($v)*abs($v)))))"
+  }
+
+  /** Standard normal CDF Φ(z) = (erf(z/√2)+1)/2 — `MathX.normCdf` /
+    * `Ego.egoSearch`'s bigPhi op order. `z` must be a cheap expression.
+    */
+  def normCdf(z: String): String =
+    s"((${erf(s"($z/1.4142135623730951)")} + 1.0) * 0.5)"
+
+  /** Standard normal pdf φ(z) — egoSearch's phi op order. */
+  def normPdf(z: String): String =
+    s"(exp((-($z*$z))/2.0)/2.5066282746310002)"
+
   /** per-language stopword ratio over lowercased tokens. */
   def stopwordRatio(textExpr: String, words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")

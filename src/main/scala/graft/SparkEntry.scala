@@ -600,6 +600,28 @@ object SparkEntry {
       graft.ann.Ann.ivfTopK(
         e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec")),
         corpus, model, k = 3, nProbe = 2)
+    }),
+
+    "q54_ego_acq" -> ((s, dir) => {
+      // single-objective EGO/KG Gaussian acquisitions (ego.py facade) on the
+      // same exact-integer bootstrap as q25 — betas are bit-identical across
+      // engines, and the oracle spells the SAME erf polynomial (A&S 7.1.26)
+      // so Φ matches to the double ulp; outputs rounded to absorb the one
+      // op whose last bit may differ cross-engine (libm vs JVM exp)
+      val model = graft.search.Ego.fitBootstrapExact(
+        li(s, dir), "x",
+        x = col("l_quantity"),
+        yInt = floor(col("l_extendedprice") * 100.0 + 0.5),
+        rowKey = col("l_orderkey") * 8 + col("l_linenumber"), b = 8)
+      val space = graft.search.Ego.searchSpace(s,
+        Seq("x" -> (1 to 60).map(_.toDouble)))
+      graft.search.Ego.egoSearch(space, model, yMax = 5290000.0, rankway = "no")
+        .select(col("x"),
+          round(col("pred_mean") / 100.0, 4).as("mean_usd"),
+          round(col("pred_std") / 100.0, 4).as("std_usd"),
+          round(col("ei_ego") / 100.0, 4).as("ei_ego"),
+          round(col("ei_kg") / 100.0, 4).as("ei_kg"))
+        .orderBy(col("x").asc)
     })
   )
 
@@ -1395,6 +1417,70 @@ object SparkEntry {
         |FROM scored
         |ORDER BY greatest(mn - 6000000.0, 0.0) * pi DESC, x ASC
         |LIMIT 10""".stripMargin,
+
+    "q54_ego_acq" -> {
+      // bigPhi/phi/EI spelled with the SAME A&S erf polynomial and op order
+      // as Ego.egoSearch + MathX.erf; betas bit-identical via the q25 CTEs
+      val eiE = s"((sd*ze)*${OracleSqlGen.normCdf("ze")}" +
+        s" + sd*${OracleSqlGen.normPdf("ze")})"
+      val eiK = s"((sd*zk)*${OracleSqlGen.normCdf("zk")}" +
+        s" + sd*${OracleSqlGen.normPdf("zk")})"
+      s"""WITH bi AS (SELECT unnest(range(8)) AS b),
+         |src AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+         |    l_orderkey * 8 + l_linenumber AS rk
+         |  FROM lineitem
+         |), w AS (
+         |  SELECT b, x, y,
+         |    CASE WHEN u < 0.368 THEN 0 WHEN u < 0.736 THEN 1 ELSE 2 END AS w
+         |  FROM (SELECT b, x, y,
+         |          CAST(((rk % 2147483647) * 1103515245 + 40503 * b + 12345)
+         |            % 2147483648 AS DOUBLE) / 2147483648.0 AS u
+         |        FROM src, bi)
+         |), s AS (
+         |  SELECT b,
+         |    CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS sw,
+         |    CAST(CAST(sum(w*x) AS BIGINT) AS DOUBLE) AS sx,
+         |    CAST(CAST(sum(w*x*x) AS BIGINT) AS DOUBLE) AS sxx,
+         |    CAST(CAST(sum(w*y) AS BIGINT) AS DOUBLE) AS sy,
+         |    CAST(CAST(sum(w*x*y) AS BIGINT) AS DOUBLE) AS sxy
+         |  FROM w GROUP BY b
+         |), beta AS (
+         |  SELECT b,
+         |    ((sw + 1e-8) * sxy - sx * sy)
+         |      / ((sxx + 1e-8) * (sw + 1e-8) - sx * sx) AS b1,
+         |    ((sxx + 1e-8) * sy - sx * sxy)
+         |      / ((sxx + 1e-8) * (sw + 1e-8) - sx * sx) AS b0
+         |  FROM s
+         |), space AS (SELECT CAST(unnest(range(1, 61)) AS DOUBLE) AS x),
+         |preds AS (
+         |  SELECT x, list(x * b1 + b0 ORDER BY b) AS ps
+         |  FROM space, beta GROUP BY x
+         |), m AS (
+         |  SELECT x,
+         |    list_reduce(list_prepend(0.0, ps), (a, p) -> a + p) / 8.0 AS mn,
+         |    list_reduce(list_prepend(0.0, list_transform(ps, p -> p*p)),
+         |      (a, q) -> a + q) / 8.0 AS m2
+         |  FROM preds
+         |), sc AS (
+         |  SELECT x, mn, sqrt(greatest(m2 - mn*mn, 0.0)) AS sd,
+         |    (SELECT max(mn) FROM m) AS mmax
+         |  FROM m
+         |), z AS (
+         |  SELECT x, mn, sd,
+         |    (mn - 5290000.0) / sd AS ze,
+         |    (mn - greatest(mmax, 5290000.0)) / sd AS zk
+         |  FROM sc
+         |)
+         |SELECT x,
+         |  round(mn / 100.0, 4) AS mean_usd,
+         |  round(sd / 100.0, 4) AS std_usd,
+         |  round($eiE / 100.0, 4) AS ei_ego,
+         |  round($eiK / 100.0, 4) AS ei_kg
+         |FROM z
+         |ORDER BY x ASC""".stripMargin
+    },
 
     "q41_time_rolling" ->
       """SELECT event_id, user_id,
