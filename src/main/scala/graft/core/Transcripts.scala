@@ -41,8 +41,12 @@ object Transcripts {
     "the", "a", "of", "and", "to", "in", "is", "for", "with", "on"
   )
 
-  private val roles = Seq("user", "assistant", "tool", "system")
-  private val tools = Seq("search", "exec", "browse")
+  /** Role/tool dictionaries — public so the flagship pipeline can
+    * dictionary-encode these columns around its shuffle (1-based indices,
+    * matching `array_position`/`element_at`).
+    */
+  val roles = Seq("user", "assistant", "tool", "system")
+  val tools = Seq("search", "exec", "browse")
 
   /** Synthesize `nConvs` conversations with heavy-tailed lengths.
     *

@@ -36,30 +36,66 @@ object Flagship {
 
   /** The feature pipeline (no action).
     *
-    * Shuffle-volume discipline: the raw `text` column is by far the widest
-    * field and the downstream features only need its LENGTH — so `text_len`
-    * is computed at the scan and `text` is dropped BEFORE the as-of union
-    * shuffle. At 100 TB this is the difference between shuffling feature
-    * rows and shuffling the corpus.
+    * Shuffle-volume discipline — every byte of every row rides the as-of
+    * union shuffle AND the shared window sort, so the wide columns are
+    * slimmed BEFORE it and restored after the last window:
+    *
+    *  - `text` (the corpus) is reduced to `text_len` at the scan — at
+    *    100 TB this is the difference between shuffling feature rows and
+    *    shuffling the corpus;
+    *  - `conv_id` ("c%010d") is parsed to a long: 24 → 8 row bytes, and the
+    *    sort's 8-byte prefix comparator becomes decisive — as strings every
+    *    conv_id shares the "c0000000" prefix, so the radix/prefix fast path
+    *    never separates keys and each comparison falls back to a full UTF8
+    *    memcmp;
+    *  - `role`/`tool` are dictionary-encoded to their 1-based index
+    *    (avg ~18 bytes → 8; UnsafeRow gives every numeric field a flat
+    *    8-byte slot, strings cost 8 + padded payload).
+    *
+    * Decoding (`format_string` / `element_at`) is an exact inverse, applied
+    * per output row after the final window — the output is value-identical
+    * to the unencoded plan. This pipeline assumes the Transcripts contract:
+    * conv_id formatted c%010d, role/tool drawn from `Transcripts.roles` /
+    * `Transcripts.tools` (unknown values fail loudly at decode under ANSI).
     */
   def pipeline(t: DataFrame, snaps: DataFrame): DataFrame = {
-    val narrow = t.withColumn("text_len", length(col("text")).cast("double"))
-      .drop("text")
+    val rolesArr = array(Transcripts.roles.map(lit): _*)
+    val toolsArr = array(Transcripts.tools.map(lit): _*)
+    val toolRole = Transcripts.roles.indexOf("tool") + 1
+    val narrow = t
+      .withColumn("text_len", length(col("text")).cast("double"))
+      .withColumn("__conv", substring(col("conv_id"), 2, 19).cast("long"))
+      .withColumn("__role", array_position(rolesArr, col("role")).cast("byte"))
+      .withColumn("__tool", array_position(toolsArr, col("tool")).cast("byte"))
+      .drop("text", "conv_id", "role", "tool")
+    val snapsN = snaps
+      .withColumn("__conv", substring(col("conv_id"), 2, 19).cast("long"))
+      .drop("conv_id")
     // keepOrder + leftTie=turn_idx: every window below orders by the as-of
     // join's own sort keys, so the whole pipeline runs on ONE sort
     val joined = AsOf.asofJoin(
-      narrow, snaps,
-      key = "conv_id", leftTs = "ts", rightTs = "snapshot_ts",
+      narrow, snapsN,
+      key = "__conv", leftTs = "ts", rightTs = "snapshot_ts",
       tiebreak = "snap_turn_idx", payload = Seq("f_vec"),
       leftTie = Some("turn_idx"), keepOrder = true)
     val ord = AsOf.orderCols
-    val sessioned = Sessionize.byGap(joined, "conv_id", "ts", ord, 1800L)
-    val filled = Backfill.lastNonNull(sessioned, "conv_id", ord, Seq("tool"))
+    val sessioned = Sessionize.byGap(joined, "__conv", "ts", ord, 1800L)
+    val filled = Backfill.lastNonNull(sessioned, "__conv", ord, Seq("__tool"))
     Descriptors.pack(
-      filled, "conv_id", ord,
+      filled, "__conv", ord,
       col("text_len"), lags = Seq(1, 2),
-      rollingRows = 10, rollingPred = col("role") === "tool")
+      rollingRows = 10, rollingPred = col("__role") === lit(toolRole))
+      .withColumn("conv_id", format_string("c%010d", col("__conv")))
+      .withColumn("role", element_at(rolesArr, col("__role").cast("int")))
+      .withColumn("tool", element_at(toolsArr, col("__tool").cast("int")))
+      .withColumn("tool_filled",
+        element_at(toolsArr, col("__tool_filled").cast("int")))
+      .drop("__conv", "__role", "__tool", "__tool_filled")
       .drop(ord: _*)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("ts"), col("text_len"), col("f_vec"), col("session_idx"),
+        col("tool_filled"), col("lag_1"), col("lag_2"),
+        col("rolling_cnt_10"), col("rolling_sum_10"))
   }
 
   /** Run the full job including the Iceberg-lite write; returns (rows,
