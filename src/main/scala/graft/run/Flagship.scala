@@ -85,11 +85,24 @@ object Flagship {
       filled, "__conv", ord,
       col("text_len"), lags = Seq(1, 2),
       rollingRows = 10, rollingPred = col("__role") === lit(toolRole))
-      .withColumn("conv_id", format_string("c%010d", col("__conv")))
-      .withColumn("role", element_at(rolesArr, col("__role").cast("int")))
-      .withColumn("tool", element_at(toolsArr, col("__tool").cast("int")))
-      .withColumn("tool_filled",
-        element_at(toolsArr, col("__tool_filled").cast("int")))
+      // NOT format_string: FormatString routes through java.util.Formatter
+      // per row (format parsing + allocations); lpad/concat is a plain byte
+      // copy. (%010d pads to AT LEAST 10 while lpad truncates — the
+      // conditional keeps >10^10 ids exact.)
+      .withColumn("conv_id", {
+        val s = col("__conv").cast("string")
+        concat(lit("c"), when(length(s) < 10, lpad(s, 10, "0")).otherwise(s))
+      })
+      // the isNotNull guards are load-bearing: Spark 4.1.2's element_at
+      // treats a NULL index as -1 (returns the LAST element, not null) once
+      // the column has been through the shuffle — caught by TemporalSpec's
+      // round-trip test (null tool decoded as "browse")
+      .withColumn("role", when(col("__role").isNotNull,
+        element_at(rolesArr, col("__role").cast("int"))))
+      .withColumn("tool", when(col("__tool").isNotNull,
+        element_at(toolsArr, col("__tool").cast("int"))))
+      .withColumn("tool_filled", when(col("__tool_filled").isNotNull,
+        element_at(toolsArr, col("__tool_filled").cast("int"))))
       .drop("__conv", "__role", "__tool", "__tool_filled")
       .drop(ord: _*)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
