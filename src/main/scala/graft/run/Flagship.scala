@@ -37,73 +37,112 @@ object Flagship {
   /** The feature pipeline (no action).
     *
     * Shuffle-volume discipline — every byte of every row rides the as-of
-    * union shuffle AND the shared window sort, so the wide columns are
-    * slimmed BEFORE it and restored after the last window:
+    * union shuffle AND the shared window sort, so wide columns are slimmed
+    * BEFORE it and restored after the last window:
     *
     *  - `text` (the corpus) is reduced to `text_len` at the scan — at
     *    100 TB this is the difference between shuffling feature rows and
     *    shuffling the corpus;
-    *  - `conv_id` ("c%010d") is parsed to a long: 24 → 8 row bytes, and the
-    *    sort's 8-byte prefix comparator becomes decisive — as strings every
-    *    conv_id shares the "c0000000" prefix, so the radix/prefix fast path
-    *    never separates keys and each comparison falls back to a full UTF8
-    *    memcmp;
     *  - `role`/`tool` are dictionary-encoded to their 1-based index
     *    (avg ~18 bytes → 8; UnsafeRow gives every numeric field a flat
-    *    8-byte slot, strings cost 8 + padded payload).
+    *    8-byte slot, strings cost 8 + padded payload). Decoding is
+    *    `element_at` on a literal array — a branch + pointer share, no
+    *    per-row allocation.
     *
-    * Decoding (`format_string` / `element_at`) is an exact inverse, applied
-    * per output row after the final window — the output is value-identical
-    * to the unencoded plan. This pipeline assumes the Transcripts contract:
-    * conv_id formatted c%010d, role/tool drawn from `Transcripts.roles` /
-    * `Transcripts.tools` (unknown values fail loudly at decode under ANSI).
+    * `conv_id` is deliberately NOT re-encoded to a long, although that
+    * would shave another 16 bytes and make the sort key prefix-comparable:
+    * the interleaved `ABBench` A/B (4 paired rounds, 26M turns, local[8],
+    * tmpfs shuffle) measured conv-encoding at −25% throughput — the decode
+    * must re-materialize 26M strings (cast + lpad + concat allocations)
+    * that the unencoded plan simply carries by pointer, and on a
+    * single-box tmpfs shuffle the 16-byte/row saving is a memcpy rounding
+    * error. dictOnly beat conv+dict AND unencoded in every paired round
+    * (steady medians 1019k vs 777k vs 995k turns/s). On a real cluster
+    * with network shuffle + compression the byte saving argues the other
+    * way — re-measure with ABBench there before flipping `encodeConv`.
+    *
+    * Output is value-identical to the unencoded plan (TemporalSpec
+    * round-trip). Assumes the Transcripts contract: role/tool drawn from
+    * `Transcripts.roles`/`Transcripts.tools` (unknown values fail loudly
+    * at decode under ANSI).
     */
-  def pipeline(t: DataFrame, snaps: DataFrame): DataFrame = {
+  def pipeline(t: DataFrame, snaps: DataFrame): DataFrame =
+    pipelineImpl(t, snaps, encodeConv = false, encodeDict = true)
+
+  /** Parametrized composition — the encoding levers are separable so the
+    * A/B harness can attribute cost/benefit per lever.
+    */
+  private[run] def pipelineImpl(
+      t: DataFrame, snaps: DataFrame,
+      encodeConv: Boolean, encodeDict: Boolean): DataFrame = {
     val rolesArr = array(Transcripts.roles.map(lit): _*)
     val toolsArr = array(Transcripts.tools.map(lit): _*)
     val toolRole = Transcripts.roles.indexOf("tool") + 1
-    val narrow = t
-      .withColumn("text_len", length(col("text")).cast("double"))
-      .withColumn("__conv", substring(col("conv_id"), 2, 19).cast("long"))
-      .withColumn("__role", array_position(rolesArr, col("role")).cast("byte"))
-      .withColumn("__tool", array_position(toolsArr, col("tool")).cast("byte"))
-      .drop("text", "conv_id", "role", "tool")
-    val snapsN = snaps
-      .withColumn("__conv", substring(col("conv_id"), 2, 19).cast("long"))
-      .drop("conv_id")
+    val convKey = if (encodeConv) "__conv" else "conv_id"
+    val roleCol = if (encodeDict) "__role" else "role"
+    val toolCol = if (encodeDict) "__tool" else "tool"
+
+    def encConv(df: DataFrame): DataFrame =
+      if (encodeConv)
+        df.withColumn("__conv", substring(col("conv_id"), 2, 19).cast("long"))
+          .drop("conv_id")
+      else df
+    val narrow0 = t.withColumn("text_len", length(col("text")).cast("double"))
+      .drop("text")
+    val narrow1 =
+      if (encodeDict)
+        narrow0
+          .withColumn("__role", array_position(rolesArr, col("role")).cast("byte"))
+          .withColumn("__tool", array_position(toolsArr, col("tool")).cast("byte"))
+          .drop("role", "tool")
+      else narrow0
+    val narrow = encConv(narrow1)
+    val snapsN = encConv(snaps)
+
     // keepOrder + leftTie=turn_idx: every window below orders by the as-of
     // join's own sort keys, so the whole pipeline runs on ONE sort
     val joined = AsOf.asofJoin(
       narrow, snapsN,
-      key = "__conv", leftTs = "ts", rightTs = "snapshot_ts",
+      key = convKey, leftTs = "ts", rightTs = "snapshot_ts",
       tiebreak = "snap_turn_idx", payload = Seq("f_vec"),
       leftTie = Some("turn_idx"), keepOrder = true)
     val ord = AsOf.orderCols
-    val sessioned = Sessionize.byGap(joined, "__conv", "ts", ord, 1800L)
-    val filled = Backfill.lastNonNull(sessioned, "__conv", ord, Seq("__tool"))
-    Descriptors.pack(
-      filled, "__conv", ord,
+    val sessioned = Sessionize.byGap(joined, convKey, "ts", ord, 1800L)
+    val filled = Backfill.lastNonNull(sessioned, convKey, ord, Seq(toolCol))
+    val rollPred =
+      if (encodeDict) col("__role") === lit(toolRole) else col("role") === "tool"
+    val packed = Descriptors.pack(
+      filled, convKey, ord,
       col("text_len"), lags = Seq(1, 2),
-      rollingRows = 10, rollingPred = col("__role") === lit(toolRole))
-      // NOT format_string: FormatString routes through java.util.Formatter
-      // per row (format parsing + allocations); lpad/concat is a plain byte
-      // copy. (%010d pads to AT LEAST 10 while lpad truncates — the
-      // conditional keeps >10^10 ids exact.)
-      .withColumn("conv_id", {
-        val s = col("__conv").cast("string")
-        concat(lit("c"), when(length(s) < 10, lpad(s, 10, "0")).otherwise(s))
-      })
-      // the isNotNull guards are load-bearing: Spark 4.1.2's element_at
-      // treats a NULL index as -1 (returns the LAST element, not null) once
-      // the column has been through the shuffle — caught by TemporalSpec's
-      // round-trip test (null tool decoded as "browse")
-      .withColumn("role", when(col("__role").isNotNull,
-        element_at(rolesArr, col("__role").cast("int"))))
-      .withColumn("tool", when(col("__tool").isNotNull,
-        element_at(toolsArr, col("__tool").cast("int"))))
-      .withColumn("tool_filled", when(col("__tool_filled").isNotNull,
-        element_at(toolsArr, col("__tool_filled").cast("int"))))
-      .drop("__conv", "__role", "__tool", "__tool_filled")
+      rollingRows = 10, rollingPred = rollPred)
+
+    val withConv =
+      if (encodeConv)
+        // NOT format_string: FormatString routes through java.util.Formatter
+        // per row (format parsing + allocations); lpad/concat is a plain
+        // byte copy. (%010d pads to AT LEAST 10 while lpad truncates — the
+        // conditional keeps >10^10 ids exact.)
+        packed.withColumn("conv_id", {
+          val s = col("__conv").cast("string")
+          concat(lit("c"), when(length(s) < 10, lpad(s, 10, "0")).otherwise(s))
+        }).drop("__conv")
+      else packed
+    val decoded =
+      if (encodeDict)
+        // the isNotNull guards are load-bearing: Spark 4.1.2's element_at
+        // treats a NULL index as -1 (returns the LAST element, not null)
+        // once the column has been through the shuffle — caught by
+        // TemporalSpec's round-trip test (null tool decoded as "browse")
+        withConv
+          .withColumn("role", when(col("__role").isNotNull,
+            element_at(rolesArr, col("__role").cast("int"))))
+          .withColumn("tool", when(col("__tool").isNotNull,
+            element_at(toolsArr, col("__tool").cast("int"))))
+          .withColumn("tool_filled", when(col("__tool_filled").isNotNull,
+            element_at(toolsArr, col("__tool_filled").cast("int"))))
+          .drop("__role", "__tool", "__tool_filled")
+      else withConv
+    decoded
       .drop(ord: _*)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         col("ts"), col("text_len"), col("f_vec"), col("session_idx"),
@@ -111,13 +150,21 @@ object Flagship {
         col("rolling_cnt_10"), col("rolling_sum_10"))
   }
 
+  /** The same composition WITHOUT any encoding (string keys ride the
+    * shuffle). The value-parity reference for the round-trip spec and the
+    * A/B side of `ABBench`.
+    */
+  def pipelineUnencoded(t: DataFrame, snaps: DataFrame): DataFrame =
+    pipelineImpl(t, snaps, encodeConv = false, encodeDict = false)
+
   /** Run the full job including the Iceberg-lite write; returns (rows,
     * elapsedMs, turns/sec).
     */
   def run(spark: SparkSession, tPath: String, sPath: String, outRoot: String,
-      nBuckets: Int = 32): (Long, Long, Double) = {
+      nBuckets: Int = 32,
+      pipe: (DataFrame, DataFrame) => DataFrame = pipeline): (Long, Long, Double) = {
     val t0 = System.currentTimeMillis()
-    val out = pipeline(spark.read.parquet(tPath), spark.read.parquet(sPath))
+    val out = pipe(spark.read.parquet(tPath), spark.read.parquet(sPath))
     // bucket via Spark's own murmur3 hash: when shuffle.partitions ==
     // nBuckets the rows arrive at the writer ALREADY grouped by bucket
     // (HashPartitioning uses the same pmod(hash, n)), so the dynamic

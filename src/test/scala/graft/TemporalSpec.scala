@@ -166,22 +166,7 @@ class TemporalSpec extends GraftSuite {
     val t = Transcripts.synthesize(spark, 60, megaEvery = 16, megaLen = 64)
     val snaps = Transcripts.snapshots(t)
     val slim = graft.run.Flagship.pipeline(t, snaps)
-
-    val narrow = t.withColumn("text_len", length(col("text")).cast("double"))
-      .drop("text")
-    val joined = AsOf.asofJoin(
-      narrow, snaps,
-      key = "conv_id", leftTs = "ts", rightTs = "snapshot_ts",
-      tiebreak = "snap_turn_idx", payload = Seq("f_vec"),
-      leftTie = Some("turn_idx"), keepOrder = true)
-    val ord = AsOf.orderCols
-    val sessioned = Sessionize.byGap(joined, "conv_id", "ts", ord, 1800L)
-    val filled = Backfill.lastNonNull(sessioned, "conv_id", ord, Seq("tool"))
-    val ref = graft.temporal.Descriptors.pack(
-      filled, "conv_id", ord,
-      col("text_len"), lags = Seq(1, 2),
-      rollingRows = 10, rollingPred = col("role") === "tool")
-      .drop(ord: _*)
+    val ref = graft.run.Flagship.pipelineUnencoded(t, snaps)
       .select(slim.columns.map(col): _*)
 
     val key = Seq(col("conv_id"), col("turn_idx"))
