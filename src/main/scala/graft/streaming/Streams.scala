@@ -39,6 +39,32 @@ object Streams {
 
   def withWatermark(df: DataFrame, ts: String, delay: String): DataFrame =
     df.withWatermark(ts, delay)
+
+  /** Streaming exact dedup on an identity column (e.g. a content hash):
+    * `dropDuplicatesWithinWatermark`, so per-key state is EVICTED once the
+    * watermark passes — a 10^12-doc stream holds only the in-horizon keys,
+    * unlike plain streaming `dropDuplicates` whose state grows forever.
+    * Two duplicates farther apart than the watermark delay both survive —
+    * the standard bounded-state trade; size `delay` to the dedup horizon.
+    * On a batch frame it degrades to plain dropDuplicates semantics.
+    */
+  def dedupExactStream(df: DataFrame, idCols: Seq[String], ts: String,
+      delay: String): DataFrame =
+    df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming NEAR-dedup: drops documents whose 16-bit SimHash signature
+    * (order/repetition-robust) collides with one already seen inside the
+    * watermark horizon. Signature equality is the O(1)-state streaming
+    * stand-in for the batch banded-hamming pair join
+    * ([[graft.text.Dedup]]); at 16 bits identical signatures ≈ near-identical
+    * token multisets.
+    */
+  def dedupSimhashStream(df: DataFrame, textCol: String, ts: String,
+      delay: String): DataFrame =
+    df.withColumn("__sig", graft.text.TextHash.simhash(col(textCol)))
+      .withWatermark(ts, delay)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
 }
 
 /** Streaming backward as-of enrich: the live-path twin of

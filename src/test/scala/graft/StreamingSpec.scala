@@ -29,12 +29,15 @@ class StreamingSpec extends GraftSuite {
     val sessions = Streams.gapSessions(
       Streams.withWatermark(input.toDF().toDF("key", "ts"), "ts", "0 seconds"),
       "key", "ts", "1800 seconds")
+    // data must be added BEFORE start: AvailableNow snapshots the available
+    // offsets at query start, so later addData may be silently skipped (a
+    // race that shows up as an empty sink)
+    input.addData(("a", ts(0)), ("a", ts(100)), ("a", ts(5000)), ("b", ts(10)))
     val q = sessions.writeStream
       .format("memory").queryName("sess_out")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    input.addData(("a", ts(0)), ("a", ts(100)), ("a", ts(5000)), ("b", ts(10)))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("sess_out").collect()
@@ -89,5 +92,44 @@ class StreamingSpec extends GraftSuite {
     assert(got(2L).contains(1.0))
     assert(got(4L).contains(1.0), "state carries v1 across micro-batches")
     assert(got(5L).contains(2.0), "newer snapshot supersedes")
+  }
+
+  test("streaming simhash dedup: drops in-horizon near-dups, evicts state past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.dedupSimhashStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "100 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    // batch 1: an exact near-dup pair (identical token multiset → identical
+    // simhash) + one distinct doc
+    input.addData(
+      (1L, "alpha beta gamma", ts(0)),
+      (2L, "alpha beta gamma", ts(10)),
+      (3L, "omega psi chi", ts(20)))
+    q.processAllAvailable()
+    // batch 2: another dup inside the horizon (dropped) and a far-future doc
+    // that advances the watermark to 10000-100 = 9900, evicting old sigs
+    input.addData(
+      (4L, "alpha beta gamma", ts(50)),
+      (5L, "totally different words", ts(10000)))
+    q.processAllAvailable()
+    // batch 3: the same content again, with event time past the advanced
+    // watermark and its original signature evicted -> SURVIVES (the bounded
+    // -state trade documented on dedupSimhashStream)
+    input.addData((6L, "alpha beta gamma", ts(9950)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    // which of the two in-batch duplicates (1 or 2) survives is operator-
+    // internal; the contract is: exactly one of them, and 4 is dropped
+    assert(kept.length == 4, s"expected 4 survivors, got ${kept.mkString(",")}")
+    assert(kept.count(Set(1L, 2L)) == 1, "exactly one of the batch-1 dups survives")
+    assert(!kept.contains(4L), "in-horizon duplicate must be dropped")
+    assert(Seq(3L, 5L, 6L).forall(kept.contains),
+      s"distinct + post-eviction docs must survive, got ${kept.mkString(",")}")
   }
 }
