@@ -64,6 +64,18 @@ class PlanAuditSpec extends GraftSuite {
     assert(p.contains("bkey"), "probe join must key on the bucket")
   }
 
+  test("egoSearch acquisitions: global mean-max joins as a broadcast, no extra shuffle") {
+    // the KG acquisition needs max(pred_mean) over the whole search space —
+    // it must arrive as a broadcast 1-row aggregate, never a sort-merge
+    // join or a driver collect, so the op scales to any space size
+    val p = plan(SparkEntry.queries("q54_ego_acq")(spark, sfSmall))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"mean-max should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for the 1-row agg")
+    assert(p.contains("erf") || p.toLowerCase.contains("erf"),
+      "native erf expression must appear in the plan")
+  }
+
   test("resolveClusters truncates lineage: result plan is constant-size") {
     import spark.implicits._
     // a 16-node chain forces several propagation rounds; without per-round

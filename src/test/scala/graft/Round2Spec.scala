@@ -206,6 +206,19 @@ class Round2Spec extends GraftSuite {
     val gotChain = graft.text.Dedup.resolveClusters(chain)
       .as[(Long, Long)].collect().toMap
     assert((1L to 20L).forall(i => gotChain(i) == 1L))
+    // STRING/UUID doc ids (common in real training pipelines): the observe()
+    // convergence counter is type-agnostic — the round-2 decimal-cast
+    // fixpoint would silently null out here and return wrong clusters
+    val sPairs = Seq(
+      ("doc-b", "doc-c"), ("doc-a", "doc-b"),
+      ("7f9e1c2a-x", "7f9e1c2a-y"), ("7f9e1c2a-y", "7f9e1c2a-z"))
+      .toDF("id_a", "id_b")
+    val gotS = graft.text.Dedup.resolveClusters(sPairs)
+      .as[(String, String)].collect().toMap
+    assert(gotS == Map(
+      "doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "7f9e1c2a-x" -> "7f9e1c2a-x", "7f9e1c2a-y" -> "7f9e1c2a-x",
+      "7f9e1c2a-z" -> "7f9e1c2a-x"), s"got $gotS")
   }
 
   test("LSH multi-probe strictly improves recall vs exact-bucket at fixed planes") {
