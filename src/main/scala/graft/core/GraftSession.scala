@@ -24,6 +24,11 @@ object GraftSession {
       // coalescing pathological tiny-partition fan-outs at scale
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // reliable checkpoints (resolveClusters every 4th round) are deleted
+      // once their RDD is GC'd — without this Spark NEVER removes
+      // checkpoint files, which on the tmpfs default dir means RAM-backed
+      // data accumulating across queries
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
@@ -55,6 +60,19 @@ object GraftSession {
         if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-ckpt"
         else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt"
       val dir = sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", fallback)
+      // per-app UUID subdirs survive JVM exit (the in-app cleaner above
+      // can't help a killed/finished app) — sweep stale ones from OUR
+      // managed default so tmpfs doesn't fill across bench runs. Never
+      // sweeps a user-provided SPARK_GRAFT_CHECKPOINT_DIR (could be shared
+      // cluster scratch); 30-min age guard protects a concurrently-running
+      // sibling JVM.
+      if (!sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR")) {
+        val root = new java.io.File(dir)
+        val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.lastModified() < cutoff)
+          .foreach(f => scala.reflect.io.Directory(f).deleteRecursively())
+      }
       s.sparkContext.setCheckpointDir(dir)
     }
 }

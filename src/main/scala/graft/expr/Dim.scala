@@ -82,14 +82,41 @@ object DimPolicy {
   def exact(target: Dim): DimT => Boolean = _ == target
 
   /** Fuzzy same-base (dimfunc.py:237-255): exponent vectors are parallel —
-    * other^‖self‖ == self^‖other‖ (so any power of the target base passes;
-    * dless is same-base with everything, exactly as the reference).
+    * other^‖self‖ == self^‖other‖.
+    *
+    * PARITY QUIRK, kept deliberately: the reference compares the two scaled
+    * float vectors with EXACT equality (`others ** x1 == se ** x2`,
+    * dimfunc.py:250), so genuinely parallel vectors can fail by one ulp of
+    * the irrational norms — e.g. base (1,1) vs its cube (3,3):
+    * 1·‖(3,3)‖ ≠ 3·‖(1,1)‖ in doubles. This port reproduces that behavior
+    * bit-for-bit; use [[sameBaseRobust]] when you want mathematical
+    * parallelism instead of reference parity.
     */
   def sameBase(target: Dim): DimT => Boolean = {
     case d: Dim =>
       val x1 = math.sqrt(d.v.map(x => x * x).sum)
       val x2 = math.sqrt(target.v.map(x => x * x).sum)
       target.v.map(_ * x1) == d.v.map(_ * x2)
+    case _ => false
+  }
+
+  /** Same-base by exact cross-multiplication: v ∥ w iff v(i)·w(j) == v(j)·w(i)
+    * for all i<j AND the vectors do not point in opposite directions.
+    * Exact for the integral/small-rational exponents dims are made of (no
+    * irrational norm enters), so (1,1) accepts (3,3) — the behavior
+    * [[sameBase]]'s reference-parity float compare misses by one ulp.
+    */
+  def sameBaseRobust(target: Dim): DimT => Boolean = {
+    case d: Dim if d.v.length == target.v.length =>
+      val n = d.v.length
+      val cross = (0 until n).forall(i => (i + 1 until n).forall(j =>
+        d.v(i) * target.v(j) == d.v(j) * target.v(i)))
+      val sameDirection = {
+        val dot = (0 until n).map(i => d.v(i) * target.v(i)).sum
+        val zt = target.v.forall(_ == 0.0); val zd = d.v.forall(_ == 0.0)
+        zt || zd || dot > 0.0
+      }
+      cross && sameDirection
     case _ => false
   }
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -28,8 +29,17 @@ object MathX {
   def normCdf(z: Double): Double = 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
 }
 
-/** erf(x) as a unary codegen expression. */
+/** erf(x) as a unary codegen expression. The input contract is enforced at
+  * ANALYSIS time (checkInputDataTypes) rather than failing with a
+  * ClassCastException mid-job in interpreted eval; the public `apply`
+  * additionally casts, so any numeric Column works.
+  */
 case class Erf(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"erf requires a DOUBLE child, got ${child.dataType.catalogString}" +
+        " (wrap with cast or use the Column apply)")
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(x: Any): Any = MathX.erf(x.asInstanceOf[Double])
@@ -43,5 +53,5 @@ case class Erf(child: Expression) extends UnaryExpression {
 
 object Erf {
   def apply(c: Column): Column =
-    GraftBridge.column(Erf(GraftBridge.expression(c)))
+    GraftBridge.column(Erf(GraftBridge.expression(c.cast("double"))))
 }

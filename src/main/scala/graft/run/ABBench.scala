@@ -55,7 +55,12 @@ object ABBench {
       println(s"""{"variant":"$name","run":$r,"tps":${tps.toLong}}""")
     }
     variants.foreach { case (name, _) =>
-      val steady = results(name).drop(1).sorted
+      // at repeats=1 there is no steady-state run to drop into — fall back
+      // to the single (JIT-cold) run rather than indexing an empty vector
+      val steady = {
+        val s = results(name).drop(1).sorted
+        if (s.nonEmpty) s else results(name).sorted
+      }
       val med = steady(steady.size / 2)
       println(s"""{"variant":"$name","runs":[${results(name).map(_.toLong).mkString(",")}],""" +
         s""""steady_median":${med.toLong},"best":${results(name).max.toLong}}""")

@@ -146,12 +146,25 @@ object Dedup {
           retries += 1
           if (retries > 3) throw e
           // lost localCheckpoint blocks (executor death): rewind to the
-          // last reliable checkpoint and redo at most reliableEvery-1 rounds
+          // last reliable checkpoint and redo at most reliableEvery-1
+          // rounds. The failed round did no propagation work, so it must
+          // not consume the convergence budget (otherwise a few failures
+          // could exhaust maxRounds on a graph that needs them).
+          round -= 1
           labels = lastReliable
           converged = false
       }
     }
     edges.unpersist()
+    // Returning partially-propagated labels would silently treat members of
+    // one dup cluster as distinct docs downstream (dedupDocs keep-list) —
+    // fail loudly instead. maxRounds bounds ROUNDS, not correctness:
+    // pointer-jumped min-label propagation converges in O(log n) rounds, so
+    // hitting 30 means a pathological graph that needs operator attention.
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge within $maxRounds rounds — " +
+          "raise maxRounds (labels would be partially merged)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -190,6 +190,20 @@ class ExprSpec extends GraftSuite {
     assert(DimPolicy.sameBase(len)(len2) && DimPolicy.sameBase(len)(halfLen))
     assert(!DimPolicy.sameBase(len)(speed) && !DimPolicy.sameBase(len)(DNan))
     assert(DimPolicy.sameBase(len)(Dim.dless))
+    // reference parity quirk (dimfunc.py:250 exact float compare): the
+    // multi-axis base (1,1) REJECTS its own cube (3,3) by one ulp of the
+    // irrational norms — bit-for-bit what the reference does
+    val ab = Dim.of(0 -> 1.0, 1 -> 1.0)
+    val ab3 = Dim.of(0 -> 3.0, 1 -> 3.0)
+    assert(!DimPolicy.sameBase(ab)(ab3), "parity: exact-float same-base misses (3,3)")
+    // sameBaseRobust: true mathematical parallelism (cross-multiplication,
+    // no irrational norm) — accepts the cube, rejects anti-parallel/other
+    assert(DimPolicy.sameBaseRobust(ab)(ab3))
+    assert(DimPolicy.sameBaseRobust(len)(len2) && DimPolicy.sameBaseRobust(len)(halfLen))
+    assert(!DimPolicy.sameBaseRobust(ab)(Dim.of(0 -> -1.0, 1 -> -1.0)),
+      "anti-parallel is a different base (reference rejects it too)")
+    assert(!DimPolicy.sameBaseRobust(len)(speed) && !DimPolicy.sameBaseRobust(len)(DNan))
+    assert(DimPolicy.sameBaseRobust(ab)(Dim.dless))
     // list form: exact membership
     val inList = DimPolicy.oneOf(Seq(len, speed))
     assert(inList(len) && inList(speed) && !inList(len2) && !inList(DNan))
