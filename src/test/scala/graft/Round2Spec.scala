@@ -465,6 +465,18 @@ class Round2Spec extends GraftSuite {
     assert(sA != s1.toSet)
   }
 
+  test("edge cases: empty pair set, degenerate sampling rates") {
+    import spark.implicits._
+    // resolveClusters on an empty pair frame: converges immediately to an
+    // empty labeling (observe() over zero rows yields a null sum -> 0)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.text.Dedup.resolveClusters(empty).count() == 0L)
+    // rate 0 keeps nothing, rate 1 keeps everything (quantization endpoints)
+    val ids = (1L to 500L).toDF("id")
+    assert(ids.where(graft.text.Sampling.keepAtRate(col("id"), 0.0, "s")).count() == 0L)
+    assert(ids.where(graft.text.Sampling.keepAtRate(col("id"), 1.0, "s")).count() == 500L)
+  }
+
   test("sampling: one quantization path; per-stratum rates within binomial bounds") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     // keepAtRate and a rate-uniform stratified sample MUST select the exact
