@@ -622,6 +622,20 @@ object SparkEntry {
           round(col("ei_ego") / 100.0, 4).as("ei_ego"),
           round(col("ei_kg") / 100.0, 4).as("ei_kg"))
         .orderBy(col("x").asc)
+    }),
+
+    "q55_seq_packing" -> ((s, dir) => {
+      // LLM pretraining sequence packing (concat-then-chunk): deterministic
+      // shuffle order + bucket-parallel token cumsum; the oracle replays the
+      // identical polynomial-hash order and integer cumsums
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+      graft.text.Packing.packChunked(
+        docs, "doc_id", "n_tokens", budget = 256L, buckets = 8)
+        .select(col("doc_id"), col("bucket"), col("seq_id"),
+          col("seq_off"), col("crosses"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1480,6 +1494,28 @@ object SparkEntry {
          |  round($eiK / 100.0, 4) AS ei_kg
          |FROM z
          |ORDER BY x ASC""".stripMargin
+    },
+
+    "q55_seq_packing" -> {
+      val idStr = "CAST(doc_id AS VARCHAR)"
+      val ntok = s"CAST(len(${OracleSqlGen.toks("text")}) AS BIGINT)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $ntok AS ntok,
+         |    ${OracleSqlGen.poly(idStr)} % 8 AS bucket,
+         |    ${OracleSqlGen.poly(s"($idStr || ':shuf:42')")} AS ord
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ntok, bucket,
+         |    CAST(sum(ntok) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d
+         |)
+         |SELECT doc_id, bucket,
+         |  CAST(floor((cum - ntok) / 256.0) AS BIGINT) AS seq_id,
+         |  (cum - ntok) - CAST(floor((cum - ntok) / 256.0) AS BIGINT) * 256 AS seq_off,
+         |  floor((cum - 1) / 256.0) > floor((cum - ntok) / 256.0) AS crosses
+         |FROM c
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q41_time_rolling" ->

@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining batch assembly: place documents
+  * into fixed token-budget training sequences, deterministically, at corpus
+  * scale.
+  *
+  * Scale shape: a single global packing order would serialize the corpus
+  * through one task. Instead documents hash into `buckets` independent
+  * packing domains (standard distributed packing): each bucket packs its own
+  * deterministic sub-order in parallel, and a sequence is identified by
+  * (bucket, seq_in_bucket). Bucket count is chosen by the caller so one
+  * bucket ≈ one executor-sized slice; packing quality loss vs a global
+  * order is negligible when buckets ≫ 1 documents deep.
+  *
+  * Both the bucket assignment and the within-bucket order come from the
+  * cross-engine polynomial hash of the document's OWN id ([[TextHash
+  * .polyHash]]) — never an RNG, never a partition index — so the packing is
+  * bit-identical at any parallelism, stable under re-runs, and verifiable
+  * in any ANSI SQL engine.
+  */
+object Packing {
+
+  /** Deterministic shuffle order for training-data sequencing: a sortable
+    * column derived from the row's own identity + seed. Ordering by it is
+    * the distributed, reproducible analog of "shuffle the dataset with seed
+    * s" — identical in any engine that reproduces the polynomial hash.
+    * Ties (hash collisions) are broken by the identity itself, so the total
+    * order is unambiguous.
+    */
+  def shuffleOrder(identity: Column, seed: Long): Column =
+    TextHash.polyHash(concat(identity.cast("string"), lit(":shuf:" + seed)))
+
+  /** Concat-then-chunk packing (the GPT-style pretraining layout): within
+    * each bucket, documents are concatenated in shuffle order and the token
+    * stream is cut into `budget`-sized sequences; a document may straddle a
+    * boundary (`crosses` flags it). Exact window-cumsum arithmetic — no
+    * sequential scan — so it parallelizes per bucket and the DuckDB oracle
+    * reproduces it with the same cumulative sums.
+    *
+    * Output columns: the input row plus
+    *  - `bucket`    — packing domain (hash of id mod buckets)
+    *  - `seq_id`    — sequence index within the bucket that the document
+    *                  STARTS in (floor(tokens_before / budget))
+    *  - `seq_off`   — token offset of the document inside that sequence
+    *  - `crosses`   — true when the document spills into the next sequence
+    */
+  def packChunked(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      buckets: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    val id = col(idCol)
+    val bucket = pmod(TextHash.polyHash(id.cast("string")), lit(buckets.toLong))
+    val ord = shuffleOrder(id, seed)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__ord"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bucket", bucket)
+      .withColumn("__ord", ord)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("__before", col("__cum") - col(tokensCol))
+      .withColumn("seq_id", floor(col("__before") / budget))
+      .withColumn("seq_off", col("__before") - col("seq_id") * budget)
+      .withColumn("crosses",
+        floor((col("__cum") - 1) / budget) > col("seq_id"))
+      .drop("__ord", "__cum", "__before")
+  }
+
+  /** Greedy NO-SPLIT packing (instruction-tuning layout: a document never
+    * straddles sequences; a bin closes when the next document would not
+    * fit). The recurrence is prefix-dependent, so it cannot be a window
+    * cumsum — each bucket is packed by a per-group pass (flatMapGroups over
+    * the hash bucket: parallel across buckets; memory is bounded by bucket
+    * size, so choose `buckets` such that one bucket's (id, ord, tokens)
+    * triples fit an executor — the docs themselves are never loaded).
+    * Documents larger than `budget` get a sequence of their own, flagged
+    * `oversize`.
+    *
+    * Returns (id, bucket, seq_id, oversize).
+    */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      buckets: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val id = col(idCol)
+    val prepped = df.select(
+      id.cast("string").as("id"),
+      pmod(TextHash.polyHash(id.cast("string")), lit(buckets.toLong)).as("bucket"),
+      shuffleOrder(id, seed).as("ord"),
+      col(tokensCol).cast("long").as("toks"))
+      .as[(String, Long, Long, Long)]
+    prepped
+      .groupByKey(_._2)
+      .flatMapGroups { (bucket: Long, rows: Iterator[(String, Long, Long, Long)]) =>
+        var seq = 0L
+        var used = 0L
+        var first = true
+        rows.toVector.sortBy(r => (r._3, r._1)).iterator.map {
+          case (docId, _, _, toks) =>
+            val oversize = toks > budget
+            if (!first && (oversize || used + toks > budget)) {
+              seq += 1; used = 0L
+            }
+            first = false
+            used += toks
+            if (oversize) { val s = seq; seq += 1; used = 0L; first = true
+              (docId, bucket, s, true)
+            } else (docId, bucket, seq, false)
+        }
+      }
+      .toDF("id", "bucket", "seq_id", "oversize")
+  }
+}

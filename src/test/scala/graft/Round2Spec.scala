@@ -465,6 +465,47 @@ class Round2Spec extends GraftSuite {
     assert(sA != s1.toSet)
   }
 
+  test("packGreedy: no-split packing — hand truth table + invariants") {
+    import spark.implicits._
+    import graft.text.Packing
+    // single bucket so the greedy recurrence is fully determined by the
+    // shuffle order; budget 10 with token sizes that force: fit, fit,
+    // overflow->new bin, oversize->own bin, then a fresh bin
+    val docs = Seq(("a", 4L), ("b", 5L), ("c", 3L), ("d", 12L), ("e", 2L))
+      .toDF("doc_id", "toks")
+    val packed = Packing.packGreedy(docs, "doc_id", "toks", budget = 10L,
+      buckets = 1, seed = 7L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // replay the same greedy walk in the spec's own order
+    val order = docs.select(col("doc_id"),
+      Packing.shuffleOrder(col("doc_id"), 7L).as("o"))
+      .orderBy(col("o"), col("doc_id")).as[(String, Long)].collect().map(_._1)
+    val toks = Map("a" -> 4L, "b" -> 5L, "c" -> 3L, "d" -> 12L, "e" -> 2L)
+    var seq = 0L; var used = 0L; var first = true
+    val expect = order.map { id =>
+      val t = toks(id); val oversize = t > 10L
+      if (!first && (oversize || used + t > 10L)) { seq += 1; used = 0L }
+      first = false; used += t
+      val res = id -> (seq, oversize)
+      if (oversize) { seq += 1; used = 0L; first = true }
+      res
+    }.toMap
+    assert(packed == expect, s"got $packed expected $expect")
+    // invariants on real documents: every doc exactly once; no non-oversize
+    // bin exceeds the budget; oversize bins hold exactly one doc
+    val real = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .withColumn("toks", size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+    val p = Packing.packGreedy(real, "doc_id", "toks", budget = 64L, buckets = 4)
+    assert(p.count() == real.count())
+    val sums = p.join(real.select(col("doc_id").cast("string").as("id"), col("toks")), Seq("id"))
+      .groupBy(col("bucket"), col("seq_id"))
+      .agg(sum(col("toks")).as("t"), max(col("oversize").cast("int")).as("ov"),
+        count(lit(1)).as("n")).collect()
+    assert(sums.forall(r => r.getAs[Long]("t") <= 64L || r.getAs[Int]("ov") == 1))
+    assert(sums.filter(_.getAs[Int]("ov") == 1).forall(_.getAs[Long]("n") == 1L))
+  }
+
   test("edge cases: empty pair set, degenerate sampling rates") {
     import spark.implicits._
     // resolveClusters on an empty pair frame: converges immediately to an
