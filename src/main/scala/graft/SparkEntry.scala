@@ -636,6 +636,19 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("seq_id"),
           col("seq_off"), col("crosses"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q56_token_mixing" -> ((s, dir) => {
+      // token-budget data mixing: per-language keep rates realize the
+      // target TOKEN mixture (production domain weights are over tokens,
+      // not docs); rates come from exact integer token sums through one
+      // fixed double op sequence, so the oracle reproduces the row set
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ntok",
+          size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+      graft.text.Sampling.mixByTokenBudget(docs, "doc_id", "lang", "ntok",
+        Map("en" -> 0.6, "zh" -> 0.3, "de" -> 0.1), budget = 20000L)
+        .select(col("doc_id"), col("lang"))
     })
   )
 
@@ -1516,6 +1529,32 @@ object SparkEntry {
          |  floor((cum - 1) / 256.0) > floor((cum - ntok) / 256.0) AS crosses
          |FROM c
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q56_token_mixing" -> {
+      // rate arithmetic in forced-DOUBLE ops mirrors the driver-side Scala
+      // `min(1.0, budget*w / t)` exactly; keep-decision = q48's quantized
+      // hash rule
+      val ntok = s"CAST(len(${OracleSqlGen.toks("text")}) AS BIGINT)"
+      val h = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':mix1')")
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, $ntok AS ntok FROM documents
+         |), tot AS (
+         |  SELECT lang, CAST(sum(ntok) AS BIGINT) AS t FROM tk GROUP BY lang
+         |), r AS (
+         |  SELECT lang,
+         |    CASE WHEN t <= 0 THEN 0.0
+         |         ELSE least(1.0, (CAST(20000 AS DOUBLE) *
+         |           CASE lang WHEN 'en' THEN CAST(0.6 AS DOUBLE)
+         |                     WHEN 'zh' THEN CAST(0.3 AS DOUBLE)
+         |                     WHEN 'de' THEN CAST(0.1 AS DOUBLE)
+         |                     ELSE CAST(0.0 AS DOUBLE) END) / CAST(t AS DOUBLE))
+         |    END AS rate
+         |  FROM tot
+         |)
+         |SELECT tk.doc_id, tk.lang
+         |FROM tk JOIN r USING (lang)
+         |WHERE $h % 1000 < round(rate * 1000.0)""".stripMargin
     },
 
     "q41_time_rolling" ->

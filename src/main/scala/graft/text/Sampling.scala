@@ -45,4 +45,51 @@ object Sampling {
     }
     df.where(keepCol(col(idCol), rate, salt))
   }
+
+  /** Per-stratum keep rates realizing a target TOKEN mixture — the
+    * production data-mixing shape (domain weights are specified over
+    * tokens, not document counts): rate_d = min(1, budget·w_d / tokens_d).
+    * One aggregation pass; the strata map is domain-sized (languages,
+    * sources), so it collects to the driver by design. A stratum whose
+    * corpus is smaller than its token allocation saturates at rate 1
+    * (upsampling/epochs are the caller's policy, not a sampler's).
+    *
+    * The rate arithmetic runs the exact op sequence `(budget·w) / tokens`
+    * on exact integer token sums, so any SQL engine reproduces the rates —
+    * and therefore the kept row set — bit-for-bit.
+    */
+  def ratesForTokenBudget(
+      df: DataFrame,
+      strataCol: String,
+      tokensCol: String,
+      weights: Map[String, Double],
+      budget: Long
+  ): Map[String, Double] = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    weights.map { case (k, w) =>
+      val t = totals.getOrElse(k, 0L)
+      k -> (if (t <= 0L) 0.0 else math.min(1.0, budget * w / t.toDouble))
+    }
+  }
+
+  /** Token-budget data mixing: keep a deterministic sample whose expected
+    * per-stratum token mass matches `weights` under `budget` total tokens.
+    * Strata not in `weights` are dropped (weight 0) — a mixture definition
+    * is exhaustive by nature.
+    */
+  def mixByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokensCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+      salt: String = "mix1"
+  ): DataFrame =
+    stratified(df, idCol, strataCol,
+      ratesForTokenBudget(df, strataCol, tokensCol, weights, budget),
+      defaultRate = 0.0, salt = salt)
 }

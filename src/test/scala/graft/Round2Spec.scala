@@ -506,6 +506,36 @@ class Round2Spec extends GraftSuite {
     assert(sums.filter(_.getAs[Int]("ov") == 1).forall(_.getAs[Long]("n") == 1L))
   }
 
+  test("mixByTokenBudget: realized token mass tracks the target mixture") {
+    import graft.text.Sampling
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .withColumn("ntok", size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+    val weights = Map("en" -> 0.6, "zh" -> 0.3, "de" -> 0.1)
+    val budget = 2000L
+    val rates = Sampling.ratesForTokenBudget(docs, "lang", "ntok", weights, budget)
+    // rates follow min(1, budget*w/tokens) exactly
+    val totals = docs.groupBy(col("lang")).agg(sum(col("ntok")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    weights.foreach { case (k, w) =>
+      assert(rates(k) == math.min(1.0, budget * w / totals(k).toDouble))
+    }
+    val kept = Sampling.mixByTokenBudget(
+      docs, "doc_id", "lang", "ntok", weights, budget)
+    // unweighted strata are dropped entirely
+    assert(kept.where(!col("lang").isin("en", "zh", "de")).count() == 0L)
+    // realized token mass per stratum within 5 sigma of its allocation
+    // (token-weighted Bernoulli; deterministic data, never flakes)
+    val keptTok = kept.groupBy(col("lang")).agg(sum(col("ntok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    weights.foreach { case (k, w) =>
+      val target = math.round(rates(k) * 1000.0) / 1000.0 * totals(k)
+      val sigma = math.sqrt(rates(k) * (1 - rates(k))) *
+        math.sqrt(totals(k).toDouble) * 8 // tokens clump per doc: ~64/doc max
+      assert(math.abs(keptTok.getOrElse(k, 0L) - target) <= 5 * sigma + 64,
+        s"$k kept=${keptTok.getOrElse(k, 0L)} target=$target sigma=$sigma")
+    }
+  }
+
   test("edge cases: empty pair set, degenerate sampling rates") {
     import spark.implicits._
     // resolveClusters on an empty pair frame: converges immediately to an
