@@ -649,6 +649,31 @@ object SparkEntry {
       graft.text.Sampling.mixByTokenBudget(docs, "doc_id", "lang", "ntok",
         Map("en" -> 0.6, "zh" -> 0.3, "de" -> 0.1), budget = 20000L)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    "q57_pii_redaction" -> ((s, dir) => {
+      import graft.text.Redact
+      // the synthetic corpus has no PII, so shapes are injected
+      // deterministically into every 7th doc — the oracle injects the same
+      // and must byte-match counts AND the redacted text
+      val t2 = when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10.0.0.1 acct 12345678901")))
+        .otherwise(col("text"))
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        Redact.emailCount(t2).as("n_email"),
+        Redact.ipv4Count(t2).as("n_ip"),
+        Redact.digitRunCount(t2).as("n_num"),
+        Redact.redact(t2).as("clean"))
+    }),
+
+    "q58_repetition" -> ((s, dir) => {
+      // Gopher/C4-family repetition quality rules: duplicate word-n-gram
+      // fraction for n=2 and n=5
+      import graft.text.TextQuality
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        round(TextQuality.dupNgramFraction(col("text"), 2), 6).as("dup2"),
+        round(TextQuality.dupNgramFraction(col("text"), 5), 6).as("dup5"))
     })
   )
 
@@ -1555,6 +1580,43 @@ object SparkEntry {
          |SELECT tk.doc_id, tk.lang
          |FROM tk JOIN r USING (lang)
          |WHERE $h % 1000 < round(rate * 1000.0)""".stripMargin
+    },
+
+    "q57_pii_redaction" -> {
+      import graft.text.Redact
+      // same injection, same patterns (Java-regex/RE2-common syntax), same
+      // replacement ORDER; DuckDB regexp_replace needs the 'g' flag to
+      // match Spark's replace-all default
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |              '@example.com ip 10.0.0.1 acct 12345678901'
+         |         ELSE text END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Redact.emailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '${Redact.ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '${Redact.digitRunRe}')) AS BIGINT) AS n_num,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    t, '${Redact.emailRe}', '<EMAIL>', 'g'),
+         |    '${Redact.ipv4Re}', '<IP>', 'g'),
+         |    '${Redact.digitRunRe}', '<NUM>', 'g') AS clean
+         |FROM d""".stripMargin
+    },
+
+    "q58_repetition" -> {
+      def dup(n: Int): String = {
+        val tk = OracleSqlGen.toks("lower(text)")
+        val cnt = s"(len($tk) - ${n - 1})"
+        val grams = s"list_transform(range(1, greatest($cnt, 1) + 1), " +
+          s"i -> array_to_string(($tk)[i:i+${n - 1}], chr(1)))"
+        s"CASE WHEN $cnt <= 0 THEN 0.0 ELSE round(1.0 - " +
+          s"CAST(len(list_distinct($grams)) AS DOUBLE) / CAST($cnt AS DOUBLE), 6) END"
+      }
+      s"""SELECT doc_id, ${dup(2)} AS dup2, ${dup(5)} AS dup5
+         |FROM documents""".stripMargin
     },
 
     "q41_time_rolling" ->

@@ -69,6 +69,20 @@ object TextQuality {
     )
   }
 
+  /** Duplicate word-n-gram fraction (the Gopher/C4 repetition rule family):
+    * 1 − distinct/total over the n-grams of the whitespace tokens; 0 when
+    * the doc has fewer than n tokens. n-grams join on U+0001 so token
+    * boundaries can't alias ("a b","c" vs "a","b c").
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val t = toks(text)
+    val cnt = size(t) - (n - 1)
+    val grams = transform(sequence(lit(1), greatest(cnt, lit(1))),
+      i => array_join(slice(t, i, lit(n)), "\u0001"))
+    when(cnt <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / cnt.cast("double"))
+  }
+
   /** Composite quality score in [0,1]: weighted blend mirroring the usual
     * length/stopword/repetition gates.
     */

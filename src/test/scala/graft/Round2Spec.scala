@@ -536,6 +536,36 @@ class Round2Spec extends GraftSuite {
     }
   }
 
+  test("Redact + dupNgramFraction: hand-computed truth table") {
+    import spark.implicits._
+    import graft.text.{Redact, TextQuality}
+    val df = Seq(
+      (1L, "mail john.doe+x@sub.example.org or 10.0.0.255 now 123456789"),
+      (2L, "no pii here, short digits 12345"),
+      (3L, "a b a b a b")
+    ).toDF("id", "text")
+    val r = df.select(col("id"),
+      Redact.emailCount(col("text")).as("e"),
+      Redact.ipv4Count(col("text")).as("i"),
+      Redact.digitRunCount(col("text")).as("n"),
+      Redact.redact(col("text")).as("c"),
+      TextQuality.dupNgramFraction(col("text"), 2).as("d2"),
+      TextQuality.dupNgramFraction(col("text"), 5).as("d5"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("e") == 1 && r(1L).getAs[Long]("i") == 1 &&
+      r(1L).getAs[Long]("n") == 1)
+    assert(r(1L).getAs[String]("c") == "mail <EMAIL> or <IP> now <NUM>")
+    assert(r(2L).getAs[Long]("e") == 0 && r(2L).getAs[Long]("i") == 0 &&
+      r(2L).getAs[Long]("n") == 0)
+    assert(r(2L).getAs[String]("c") == "no pii here, short digits 12345")
+    // [a b a b a b]: 5 bigrams {ab,ba} -> 1 - 2/5 = 0.6; 2 distinct 5-grams -> 0
+    assert(math.abs(r(3L).getAs[Double]("d2") - 0.6) < 1e-12)
+    assert(r(3L).getAs[Double]("d5") == 0.0)
+    // short doc: fewer tokens than n -> 0, not negative
+    assert(r(2L).getAs[Double]("d5") == 0.0 ||
+      r(2L).getAs[Double]("d5") >= 0.0)
+  }
+
   test("edge cases: empty pair set, degenerate sampling rates") {
     import spark.implicits._
     // resolveClusters on an empty pair frame: converges immediately to an
