@@ -77,8 +77,17 @@ object TextQuality {
   def dupNgramFraction(text: Column, n: Int): Column = {
     val t = toks(text)
     val cnt = size(t) - (n - 1)
-    val grams = transform(sequence(lit(1), greatest(cnt, lit(1))),
-      i => array_join(slice(t, i, lit(n)), "\u0001"))
+    // n-grams via iterated zip_with against shifted copies: every reference
+    // to the token array stays OUTSIDE lambda bodies. An expression
+    // referenced inside a higher-order-function lambda is re-evaluated PER
+    // ELEMENT - the original slice-in-transform formulation re-tokenized
+    // the text O(tokens) times per row (6.7 s for the q58 bench vs 0.5 s).
+    // zip_with pads the shorter side with null and concat null-poisons, so
+    // the trailing partial grams drop in the filter.
+    val grams0 = (1 until n).foldLeft(t)((acc, k) =>
+      zip_with(acc, slice(t, lit(k + 1), size(t)), (x, y) =>
+        concat(x, lit("\u0001"), y)))
+    val grams = filter(grams0, x => x.isNotNull)
     when(cnt <= 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)).cast("double") / cnt.cast("double"))
   }
