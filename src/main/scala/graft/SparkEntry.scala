@@ -674,6 +674,16 @@ object SparkEntry {
       Tables.load(s, dir, "documents").select(col("doc_id"),
         round(TextQuality.dupNgramFraction(col("text"), 2), 6).as("dup2"),
         round(TextQuality.dupNgramFraction(col("text"), 5), 6).as("dup5"))
+    }),
+
+    "q59_bm25" -> ((s, dir) => {
+      // BM25 lexical retrieval over the corpus: one stats pass (N, total
+      // tokens, per-term df) + a pure projection score; idf/avgdl derive
+      // from exact integer counts so the oracle reproduces the scores
+      graft.text.Retrieval.bm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        query = Seq("window", "join", "merge"))
+        .select(col("doc_id"), col("n_tokens"), col("bm25"))
     })
   )
 
@@ -1617,6 +1627,35 @@ object SparkEntry {
       }
       s"""SELECT doc_id, ${dup(2)} AS dup2, ${dup(5)} AS dup5
          |FROM documents""".stripMargin
+    },
+
+    "q59_bm25" -> {
+      // EXACT op-order mirror of Retrieval.bm25: idf = ln((N-df+0.5)/(df+
+      // 0.5)+1), avgdl = tot/N, term = (idf*(tf*(1.2+1.0))) / (tf + 1.2*
+      // (0.25 + (0.75*dl)/avgdl)); constants spelled as the same double
+      // ops ((1.2+1.0), not 2.2 — the two parse to different doubles)
+      val terms = Seq("window", "join", "merge")
+      val tkExpr = OracleSqlGen.toks("lower(text)")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN list_contains(tk, '${terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n    ")
+      def term(i: Int): String = {
+        val tf = s"CAST(len(list_filter(tk, x -> x = '${terms(i)}')) AS DOUBLE)"
+        val idf = s"ln((CAST(n - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)"
+        s"(($idf * ($tf * (1.2 + 1.0))) / ($tf + 1.2 * (0.25 + (0.75 * CAST(len(tk) AS DOUBLE)) / avgdl)))"
+      }
+      s"""WITH p AS (
+         |  SELECT doc_id, $tkExpr AS tk FROM documents
+         |), s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(tk)) AS BIGINT) AS tot,
+         |    $dfCols
+         |  FROM p
+         |), a AS (
+         |  SELECT *, CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM s
+         |)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  round(${term(0)} + ${term(1)} + ${term(2)}, 6) AS bm25
+         |FROM p, a""".stripMargin
     },
 
     "q41_time_rolling" ->

@@ -566,6 +566,24 @@ class Round2Spec extends GraftSuite {
       r(2L).getAs[Double]("d5") >= 0.0)
   }
 
+  test("bm25: hand-computed scores on a three-doc corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark joins data"), (2L, "spark spark spark"), (3L, "other words here"))
+      .toDF("id", "text")
+    val got = graft.text.Retrieval.bm25(docs, "id", "text", Seq("spark"))
+      .select(col("id"), col("bm25")).as[(Long, Double)].collect().toMap
+    // N=3, avgdl=3, df=2 -> idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(tf: Double) = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    assert(math.abs(got(1L) - BigDecimal(s(1)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(got(2L) - BigDecimal(s(3)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(3L) == 0.0)
+    assert(got(2L) > got(1L), "higher tf must score higher at equal dl")
+  }
+
   test("edge cases: empty pair set, degenerate sampling rates") {
     import spark.implicits._
     // resolveClusters on an empty pair frame: converges immediately to an
