@@ -684,6 +684,15 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         query = Seq("window", "join", "merge"))
         .select(col("doc_id"), col("n_tokens"), col("bm25"))
+    }),
+
+    "q60_unigram_lm" -> ((s, dir) => {
+      // CCNet-style perplexity-proxy filter: avg token log-prob under the
+      // corpus's own add-one-smoothed unigram LM; per-doc double sums fold
+      // in token-position order so the oracle reproduces them exactly
+      graft.text.Retrieval.unigramLogProb(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("avg_logp"))
     })
   )
 
@@ -1656,6 +1665,34 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          |  round(${term(0)} + ${term(1)} + ${term(2)}, 6) AS bm25
          |FROM p, a""".stripMargin
+    },
+
+    "q60_unigram_lm" -> {
+      val tkExpr = OracleSqlGen.toks("lower(text)")
+      s"""WITH p AS (
+         |  SELECT doc_id, $tkExpr AS tk FROM documents
+         |), tok AS (
+         |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> {'pos': i, 'tok': tk[i]})) AS u
+         |    FROM p)
+         |), cnt AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+         |), tv AS (
+         |  SELECT CAST(CAST(sum(c) AS BIGINT) + count(*) AS DOUBLE) AS denom
+         |  FROM cnt
+         |), lp AS (
+         |  SELECT doc_id, pos,
+         |    ln(CAST(c + 1 AS DOUBLE) / denom) AS lp
+         |  FROM tok JOIN cnt USING (tok), tv
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+         |      (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 6) AS avg_logp
+         |  FROM lp GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, agg.n_tokens, agg.avg_logp
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
     },
 
     "q41_time_rolling" ->

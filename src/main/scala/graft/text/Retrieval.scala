@@ -59,4 +59,36 @@ object Retrieval {
     df.withColumn("n_tokens", size(t).cast("long"))
       .withColumn("bm25", round(score, 6))
   }
+
+  /** Unigram-LM document scoring — the CCNet-style perplexity-proxy
+    * quality filter, with the corpus itself as the language model:
+    * avg_logp(d) = (1/|d|) Σ_i ln p(w_i),  p(w) = (c(w)+1)/(T+V)
+    * (add-one smoothing over the corpus unigram counts; lower = more
+    * surprising/noisier document).
+    *
+    * Scale shape: ONE groupBy over exploded tokens builds the count table
+    * (O(vocab) rows); tokens then join back on the token key (AQE handles
+    * stopword skew) and per-document sums fold the per-position log-probs
+    * in POSITION ORDER (sorted collect), so the double summation is
+    * order-stable — the same result on any engine, any parallelism.
+    * Documents with no tokens score null.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksDf = df.select(col(idCol).as("__id"),
+      posexplode(toks(col(textCol))).as(Seq("__pos", "__tok")))
+    val counts = toksDf.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val tv = counts.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v")).head()
+    val denom = (tv.getAs[Long]("__t") + tv.getAs[Long]("__v")).toDouble
+    val scored = toksDf.join(counts, Seq("__tok"))
+      .withColumn("__lp", log((col("__c") + lit(1L)).cast("double") / denom))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("__pos"), col("__lp")))),
+          lit(0.0), (acc, e) => acc + e.getField("__lp")).as("__sum"))
+      .withColumn("avg_logp", round(col("__sum") / col("n_tokens"), 6))
+      .drop("__sum")
+    df.select(col(idCol)).join(scored.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left")
+  }
 }

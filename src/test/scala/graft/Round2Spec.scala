@@ -584,6 +584,22 @@ class Round2Spec extends GraftSuite {
     assert(got(2L) > got(1L), "higher tf must score higher at equal dl")
   }
 
+  test("unigramLogProb: hand-computed corpus LM scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a"), (3L, "")).toDF("id", "text")
+    val got = graft.text.Retrieval.unigramLogProb(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    // c(a)=3, c(b)=1, T=4, V=2, denom=6: lp(a)=ln(4/6), lp(b)=ln(2/6)
+    val lpa = math.log(4.0 / 6.0); val lpb = math.log(2.0 / 6.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1.contains(3L))
+    assert(got(1L)._2.contains(r6((lpa + lpa + lpb) / 3.0)))
+    assert(got(2L)._2.contains(r6(lpa)))
+    assert(got(3L) == (None, None), "tokenless doc scores null")
+  }
+
   test("edge cases: empty pair set, degenerate sampling rates") {
     import spark.implicits._
     // resolveClusters on an empty pair frame: converges immediately to an
