@@ -693,6 +693,15 @@ object SparkEntry {
       graft.text.Retrieval.unigramLogProb(
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_logp"))
+    }),
+
+    "q61_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test assignment: identity hash band walks
+      // cumulative fraction thresholds — no shuffle, re-run stable, and a
+      // row can never land in two splits
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        graft.text.Sampling.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     })
   )
 
@@ -1693,6 +1702,15 @@ object SparkEntry {
          |)
          |SELECT d.doc_id, agg.n_tokens, agg.avg_logp
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+    },
+
+    "q61_split_assign" -> {
+      val h = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':split1')")
+      s"""SELECT doc_id,
+         |  CASE WHEN $h % 1000 < 800 THEN 'train'
+         |       WHEN $h % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
     },
 
     "q41_time_rolling" ->

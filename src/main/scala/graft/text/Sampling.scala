@@ -92,4 +92,33 @@ object Sampling {
     stratified(df, idCol, strataCol,
       ratesForTokenBudget(df, strataCol, tokensCol, weights, budget),
       defaultRate = 0.0, salt = salt)
+
+  /** Deterministic train/val/test (or any named-fraction) split assignment:
+    * the identity hash band (1/1000ths, same quantization as [[keepAtRate]])
+    * walks the cumulative fraction thresholds in the given order. Pure
+    * per-row expression — no shuffle, stable under re-runs/resharding, and
+    * a row can never land in two splits (the failure mode of per-split
+    * independent sampling). Rounding drift in the last band falls into the
+    * final split.
+    */
+  def assignSplit(
+      identity: Column,
+      fractions: Seq[(String, Double)],
+      salt: String = "split1"
+  ): Column = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $fractions")
+    val band = pmod(
+      TextHash.polyHash(concat(identity.cast("string"), lit(":" + salt))),
+      lit(1000L))
+    val cums = fractions.scanLeft(0L) {
+      case (acc, (_, f)) => acc + math.round(f * 1000.0)
+    }.tail
+    fractions.init.map(_._1).zip(cums.init)
+      .foldLeft(None: Option[Column]) { case (acc, (name, cum)) =>
+        Some(acc.fold(when(band < cum, name))(_.when(band < cum, name)))
+      }
+      .fold(lit(fractions.head._1))(_.otherwise(fractions.last._1))
+  }
 }

@@ -600,6 +600,27 @@ class Round2Spec extends GraftSuite {
     assert(got(3L) == (None, None), "tokenless doc scores null")
   }
 
+  test("assignSplit: exhaustive, exclusive, near-target split masses") {
+    import spark.implicits._
+    import graft.text.Sampling
+    val ids = (1L to 2000L).toDF("id")
+    val split = ids.withColumn("s", Sampling.assignSplit(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val byName = split.groupBy(col("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split (exhaustive by construction)
+    assert(byName.values.sum == 2000L && byName.keySet == Set("train", "val", "test"))
+    // realized masses within 4 sigma of the quantized targets
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).foreach { case (k, f) =>
+      val sigma = math.sqrt(f * (1 - f) * 2000)
+      assert(math.abs(byName(k) - f * 2000) <= 4 * sigma, s"$k: ${byName(k)}")
+    }
+    // re-run determinism
+    assert(split.collect().toSet == ids.withColumn("s",
+      Sampling.assignSplit(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))).collect().toSet)
+  }
+
   test("edge cases: empty pair set, degenerate sampling rates") {
     import spark.implicits._
     // resolveClusters on an empty pair frame: converges immediately to an
