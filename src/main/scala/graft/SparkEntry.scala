@@ -1635,16 +1635,21 @@ object SparkEntry {
     },
 
     "q58_repetition" -> {
+      // tk is hoisted into a CTE: referenced inside list_transform lambdas
+      // it would re-run the regexp split per n-gram (the same per-element
+      // re-evaluation pathology the Spark side was rebuilt to avoid)
       def dup(n: Int): String = {
-        val tk = OracleSqlGen.toks("lower(text)")
-        val cnt = s"(len($tk) - ${n - 1})"
+        val cnt = s"(len(tk) - ${n - 1})"
         val grams = s"list_transform(range(1, greatest($cnt, 1) + 1), " +
-          s"i -> array_to_string(($tk)[i:i+${n - 1}], chr(1)))"
+          s"i -> array_to_string(tk[i:i+${n - 1}], chr(1)))"
         s"CASE WHEN $cnt <= 0 THEN 0.0 ELSE round(1.0 - " +
           s"CAST(len(list_distinct($grams)) AS DOUBLE) / CAST($cnt AS DOUBLE), 6) END"
       }
-      s"""SELECT doc_id, ${dup(2)} AS dup2, ${dup(5)} AS dup5
-         |FROM documents""".stripMargin
+      s"""WITH p AS (
+         |  SELECT doc_id, ${OracleSqlGen.toks("lower(text)")} AS tk FROM documents
+         |)
+         |SELECT doc_id, ${dup(2)} AS dup2, ${dup(5)} AS dup5
+         |FROM p""".stripMargin
     },
 
     "q59_bm25" -> {

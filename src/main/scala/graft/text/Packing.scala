@@ -95,11 +95,20 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     val id = col(idCol)
+    // the hash-collision tiebreak must be the NATIVE-typed id ordering so
+    // packGreedy and packChunked agree on the same (df, seed); a string
+    // cast would order numeric ids lexicographically. The rank window runs
+    // per bucket — the same shuffle the groupByKey needs anyway.
     val prepped = df.select(
       id.cast("string").as("id"),
       pmod(TextHash.polyHash(id.cast("string")), lit(buckets.toLong)).as("bucket"),
       shuffleOrder(id, seed).as("ord"),
-      col(tokensCol).cast("long").as("toks"))
+      col(tokensCol).cast("long").as("toks"),
+      id.as("__nid"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col("ord"), col("__nid"))).cast("long"))
+      .select(col("id"), col("bucket"), col("rank"), col("toks"))
       .as[(String, Long, Long, Long)]
     prepped
       .groupByKey(_._2)
@@ -107,7 +116,7 @@ object Packing {
         var seq = 0L
         var used = 0L
         var first = true
-        rows.toVector.sortBy(r => (r._3, r._1)).iterator.map {
+        rows.toVector.sortBy(r => r._3).iterator.map {
           case (docId, _, _, toks) =>
             val oversize = toks > budget
             if (!first && (oversize || used + toks > budget)) {

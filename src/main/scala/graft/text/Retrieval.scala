@@ -22,8 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  private def toks(text: Column) = TextHash.tokens(lower(text))
-
   /** Okapi BM25 scores for every document against `query` (lowercased
     * whitespace terms). Returns the input plus `bm25` (rounded to 6) and
     * `n_tokens`.
@@ -37,21 +35,26 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     require(query.nonEmpty, "empty query")
-    val t = toks(col(textCol))
+    val qTerms = query.map(_.toLowerCase)   // tokens are lowercased — a
+                                            // mixed-case term would silently
+                                            // score 0 everywhere
+    val t = TextHash.lowerTokens(col(textCol))
     // one stats pass: corpus size, total tokens, per-term doc frequencies
-    val dfAggs = query.zipWithIndex.map { case (w, i) =>
+    val dfAggs = qTerms.zipWithIndex.map { case (w, i) =>
       sum(when(array_contains(t, w), 1L).otherwise(0L)).as(s"df_$i")
     }
     val aggs = Seq(sum(size(t).cast("long")).as("tot")) ++ dfAggs
     val statsRow = df.agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = statsRow.getAs[Long]("n")
-    val avgdl = statsRow.getAs[Long]("tot").toDouble / n
-    val idf = query.indices.map { i =>
+    val tot = statsRow.getAs[Long]("tot")
+    require(tot > 0, "corpus has zero tokens — avgdl undefined (NaN scores)")
+    val avgdl = tot.toDouble / n
+    val idf = qTerms.indices.map { i =>
       val dfi = statsRow.getAs[Long](s"df_$i")
       math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0)
     }
     val dl = size(t).cast("double")
-    val score = query.zipWithIndex.map { case (w, i) =>
+    val score = qTerms.zipWithIndex.map { case (w, i) =>
       val tf = size(filter(t, x => x === w)).cast("double")
       lit(idf(i)) * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
@@ -75,7 +78,7 @@ object Retrieval {
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksDf = df.select(col(idCol).as("__id"),
-      posexplode(toks(col(textCol))).as(Seq("__pos", "__tok")))
+      posexplode(TextHash.lowerTokens(col(textCol))).as(Seq("__pos", "__tok")))
     val counts = toksDf.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
     val tv = counts.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v")).head()
     val denom = (tv.getAs[Long]("__t") + tv.getAs[Long]("__v")).toDouble

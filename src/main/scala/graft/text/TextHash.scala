@@ -51,6 +51,13 @@ object TextHash {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Lowercased whitespace tokens — THE tokenization the quality /
+    * retrieval / packing oracle parity depends on; every operator must use
+    * this single definition (`OracleSqlGen.toks("lower(text)")` is its SQL
+    * twin).
+    */
+  def lowerTokens(text: Column): Column = tokens(lower(text))
+
   /** MinHash signature: H values, sig_i = min over shingle hashes h of
     * (a_i·h + b_i) mod 2^32, with a_i = 2i+1 (odd), b_i = 97·i+13.
     * Same formula generates the oracle SQL.

@@ -17,7 +17,7 @@ object TextQuality {
     "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "ist", "mit", "auf")
   )
 
-  private def toks(text: Column) = TextHash.tokens(lower(text))
+  private def toks(text: Column) = TextHash.lowerTokens(text)
 
   /** Per-language stopword hit ratio: |tokens ∩ stopwords| / |tokens|. */
   def stopwordRatio(text: Column, lang: String): Column = {

@@ -542,7 +542,8 @@ class Round2Spec extends GraftSuite {
     val df = Seq(
       (1L, "mail john.doe+x@sub.example.org or 10.0.0.255 now 123456789"),
       (2L, "no pii here, short digits 12345"),
-      (3L, "a b a b a b")
+      (3L, "a b a b a b"),
+      (4L, "a b")
     ).toDF("id", "text")
     val r = df.select(col("id"),
       Redact.emailCount(col("text")).as("e"),
@@ -561,9 +562,14 @@ class Round2Spec extends GraftSuite {
     // [a b a b a b]: 5 bigrams {ab,ba} -> 1 - 2/5 = 0.6; 2 distinct 5-grams -> 0
     assert(math.abs(r(3L).getAs[Double]("d2") - 0.6) < 1e-12)
     assert(r(3L).getAs[Double]("d5") == 0.0)
-    // short doc: fewer tokens than n -> 0, not negative
-    assert(r(2L).getAs[Double]("d5") == 0.0 ||
-      r(2L).getAs[Double]("d5") >= 0.0)
+    // genuinely short doc (2 tokens < n=5): the cnt<=0 guard must yield
+    // exactly 0, never a negative/NaN fraction
+    assert(r(4L).getAs[Double]("d5") == 0.0)
+    assert(r(4L).getAs[Double]("d2") == 0.0) // 1 bigram, distinct
+    // hasPii mirrors the three counts
+    val pii = df.select(col("id"), graft.text.Redact.hasPii(col("text")).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(pii(1L) && !pii(2L) && !pii(3L) && !pii(4L))
   }
 
   test("bm25: hand-computed scores on a three-doc corpus") {
