@@ -66,11 +66,23 @@ object Dedup {
     * constant number of hash shuffles on (id, label) pairs — never the
     * payloads — so the op scales to billion-edge pair sets.
     */
+  /** @param driverFinishEdges hybrid BSP/driver finish bound: once a round
+    *   relabels few nodes, the remaining ACTIVE subgraph (cross-label edges
+    *   + label chains) is usually tiny even when the full graph has
+    *   billions of edges — the classic long-tail of distributed CC, where
+    *   each extra round is pure job latency. When the active subgraph fits
+    *   within this many label pairs it is collected, closed with a driver
+    *   union-find (min root, matching the distributed semantics), and
+    *   broadcast back — replacing the last O(log chain) rounds with two
+    *   jobs. 50k pairs ≈ ~2 MB broadcast: safe on any driver. 0 disables
+    *   (pure BSP; spec-proven equivalent).
+    */
   def resolveClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxRounds: Int = 30
+      maxRounds: Int = 30,
+      driverFinishEdges: Int = 50000
   ): DataFrame = {
     // Iterative self-referential plans MUST truncate lineage each round or
     // the logical plan doubles per iteration (the pointer jump references
@@ -100,6 +112,65 @@ object Dedup {
     var converged = false
     var round = 0
     var retries = 0
+    var finishAttempts = 2 // stop probing if the active subgraph won't fit
+
+    // Driver finish: collect the active label-connectivity subgraph —
+    // (1) edges whose endpoints hold different labels, (2) labels that are
+    // themselves relabeled (chains) — and close it with a min-root
+    // union-find. Correct because min-propagation only ever assigns labels
+    // from within a node's own component, the label graph preserves
+    // component connectivity, and the true component minimum m always has
+    // label m (nothing smaller exists to overwrite it). Comparable-based
+    // min matches Spark's ordering for numeric and ASCII string ids.
+    def tryDriverFinish(): Boolean = {
+      val spark = pairs.sparkSession
+      val la = labels.select(col("id").as("a"), col("label").as("la"))
+      val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+      val cross = edges.join(la, Seq("a")).join(lb, Seq("b"))
+        .where(col("la") =!= col("lb")).select(col("la"), col("lb"))
+      val chains = labels
+        .join(labels.select(col("id").as("label"), col("label").as("lb")),
+          Seq("label"))
+        .where(col("label") =!= col("lb"))
+        .select(col("label").as("la"), col("lb"))
+      val active = cross.unionByName(chains).distinct()
+        .limit(driverFinishEdges + 1).collect()
+      if (active.length > driverFinishEdges) { finishAttempts -= 1; return false }
+      def less(x: Any, y: Any): Boolean =
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      active.foreach { e =>
+        val (rx, ry) = (find(e.get(0)), find(e.get(1)))
+        if (rx != ry) {
+          if (less(rx, ry)) parent(ry) = rx else parent(rx) = ry
+        }
+      }
+      val corr = parent.keys.toSeq.map(l => (l, find(l)))
+        .filter { case (l, r) => l != r }
+        .map { case (l, r) => org.apache.spark.sql.Row(l, r) }
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(
+          s"[cc] driver finish: active=${active.length} corrections=${corr.size}")
+      if (corr.isEmpty) return true // chains already closed — nothing to fix
+      val dt = labels.schema("label").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("label", dt),
+        org.apache.spark.sql.types.StructField("__root", dt)))
+      val corrDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(corr, 1), schema)
+      labels = truncated(
+        labels.join(broadcast(corrDf), Seq("label"), "left")
+          .select(col("id"),
+            coalesce(col("__root"), col("label")).as("label")), reliable = true)
+      true
+    }
     while (!converged && round < maxRounds) {
       round += 1
       try {
@@ -141,6 +212,10 @@ object Dedup {
           System.err.println(s"[cc] round=$round changed=$changed")
         labels = jumped
         if (reliableRound) lastReliable = jumped
+        // the relabel count is the cheap proxy for a small active frontier
+        if (!converged && driverFinishEdges > 0 && finishAttempts > 0 &&
+            changed <= driverFinishEdges)
+          converged = tryDriverFinish()
       } catch {
         case e: org.apache.spark.SparkException =>
           retries += 1

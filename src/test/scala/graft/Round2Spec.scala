@@ -206,6 +206,19 @@ class Round2Spec extends GraftSuite {
     val gotChain = graft.text.Dedup.resolveClusters(chain)
       .as[(Long, Long)].collect().toMap
     assert((1L to 20L).forall(i => gotChain(i) == 1L))
+    // the hybrid driver finish must be exactly equivalent to pure BSP
+    // (driverFinishEdges = 0) — long chain, forks, and multiple components
+    val tangled = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 140L), (140L, 120L), (120L, 100L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    val viaFinish = graft.text.Dedup.resolveClusters(tangled)
+      .as[(Long, Long)].collect().toMap
+    val pureBsp = graft.text.Dedup
+      .resolveClusters(tangled, driverFinishEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaFinish == pureBsp, "driver finish diverged from pure BSP")
+    assert((1L to 40L).forall(viaFinish(_) == 1L))
+    assert(Seq(100L, 120L, 140L).forall(viaFinish(_) == 100L))
     // STRING/UUID doc ids (common in real training pipelines): the observe()
     // convergence counter is type-agnostic — the round-2 decimal-cast
     // fixpoint would silently null out here and return wrong clusters
