@@ -702,6 +702,17 @@ object SparkEntry {
       Tables.load(s, dir, "documents").select(col("doc_id"),
         graft.text.Sampling.assignSplit(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
+    "q62_incremental_dedup" -> ((s, dir) => {
+      // daily-ingest dedup: every 5th doc plays the NEW batch, the rest the
+      // existing corpus; admit batch docs that duplicate neither the corpus
+      // (exact digest or near jaccard) nor a batch sibling
+      val docs = Tables.load(s, dir, "documents")
+      graft.text.Dedup.dedupIncremental(
+        batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0),
+        corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0),
+        "doc_id", "text", blockKey = col("lang"), threshold = 0.7)
     })
   )
 
@@ -1716,6 +1727,53 @@ object SparkEntry {
          |       WHEN $h % 1000 < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "q62_incremental_dedup" -> {
+      // brute-force twin of the composed operator (oracle scale): batch
+      // keep-list via the q47 recursive-CTE cluster pattern, then anti-join
+      // corpus exact digests and corpus near matches
+      val sh = OracleSqlGen.shingleHashes("text", 3)
+      s"""WITH RECURSIVE
+         |b AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+         |c AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+         |bs AS (SELECT doc_id, lang, $sh AS sh FROM b),
+         |cs AS (SELECT doc_id, lang, $sh AS sh FROM c),
+         |near AS (
+         |  SELECT a.doc_id AS id_a, x.doc_id AS id_b
+         |  FROM bs a JOIN bs x ON a.lang = x.lang AND a.doc_id < x.doc_id
+         |  WHERE len(a.sh) > 0 AND len(x.sh) > 0
+         |    AND ${OracleSqlGen.jaccard("a.sh", "x.sh")} >= 0.7
+         |), ex AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM b
+         |), allp AS (
+         |  SELECT * FROM near
+         |  UNION
+         |  SELECT keeper AS id_a, doc_id AS id_b FROM ex WHERE doc_id <> keeper
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM allp
+         |  UNION SELECT id_b, id_a FROM allp
+         |), reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id
+         |), cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+         |kept AS (
+         |  SELECT doc_id FROM b
+         |  WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> c)
+         |), exhit AS (
+         |  SELECT b.doc_id FROM b
+         |  JOIN (SELECT DISTINCT md5(text) AS m FROM c) cm ON md5(b.text) = cm.m
+         |), nearhit AS (
+         |  SELECT DISTINCT bs.doc_id
+         |  FROM bs JOIN cs ON bs.lang = cs.lang
+         |  WHERE len(bs.sh) > 0 AND len(cs.sh) > 0
+         |    AND ${OracleSqlGen.jaccard("bs.sh", "cs.sh")} >= 0.7
+         |)
+         |SELECT doc_id FROM kept
+         |WHERE doc_id NOT IN (SELECT doc_id FROM exhit)
+         |  AND doc_id NOT IN (SELECT doc_id FROM nearhit)""".stripMargin
     },
 
     "q41_time_rolling" ->

@@ -345,6 +345,39 @@ object Dedup {
         .select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup — the daily-ingest production shape: admit only the
+    * documents of a NEW batch that are neither exact nor near duplicates
+    * (n-gram Jaccard ≥ threshold) of the EXISTING corpus, nor of a batch
+    * sibling. The corpus is never re-deduped (its keep decisions are
+    * final) and never self-joined — each call costs one batch-vs-corpus
+    * prefix-filtered similarity join ([[contaminationPairs]]) plus a
+    * batch-internal [[dedupDocs]], both bounded by batch size, so daily
+    * ingest stays O(batch · corpus-index), not O(corpus²).
+    * Returns the admitted batch ids (one `idCol` column).
+    */
+  def dedupIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int = 3,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    // exact collisions with the corpus: digest semi-join (never the text)
+    val bMd5 = batch.select(col(idCol).as("id"), md5(col(textCol)).as("__md5"))
+    val cMd5 = corpus.select(md5(col(textCol)).as("__md5")).distinct()
+    val exactHit = bMd5.join(cMd5, Seq("__md5"), "left_semi").select(col("id"))
+    // near collisions with the corpus: cross-table prefix-filtered jaccard
+    val nearHit = contaminationPairs(corpus, idCol, batch, idCol, textCol,
+        blockKey, shingleN, threshold)
+      .select(col("bench_id").as("id")).distinct()
+    // batch-internal keep-list (exact ∪ near clusters, min id kept)
+    dedupDocs(batch, idCol, textCol, blockKey, shingleN, threshold)
+      .join(exactHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 16-bit signatures, candidates = equal signature
     * halves (two 8-bit bands), verified by hamming <= maxHamming.
     */

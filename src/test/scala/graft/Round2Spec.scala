@@ -640,6 +640,23 @@ class Round2Spec extends GraftSuite {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))).collect().toSet)
   }
 
+  test("dedupIncremental: batch admitted iff no corpus/sibling duplicate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "g", "the quick brown fox jumps over the lazy dog"),
+      (2L, "g", "an utterly unrelated corpus document body")).toDF("id", "blk", "text")
+    val batch = Seq(
+      (10L, "g", "the quick brown fox jumps over the lazy dog"),  // exact corpus dup
+      (11L, "g", "the quick brown fox jumps over the lazy cat"),  // near corpus dup
+      (12L, "g", "completely novel batch content right here"),
+      (13L, "g", "completely novel batch content right here"),    // sibling exact dup
+      (14L, "g", "something else that is genuinely new too")).toDF("id", "blk", "text")
+    val kept = graft.text.Dedup.dedupIncremental(
+      batch, corpus, "id", "text", blockKey = col("blk"), threshold = 0.6)
+      .as[Long].collect().sorted
+    assert(kept.sameElements(Array(12L, 14L)), s"got ${kept.mkString(",")}")
+  }
+
   test("edge cases: empty pair set, degenerate sampling rates") {
     import spark.implicits._
     // resolveClusters on an empty pair frame: converges immediately to an
