@@ -51,7 +51,28 @@ object OracleSqlGen {
     slots.foldLeft(s"CAST($init AS BIGINT)")((acc, s) => s"(($acc)*131 + $s) % $M")
   }
 
-  /** 16-bit simhash over token-hash list column `th`. */
+  /** Xorshift+Knuth mix of a 32-bit hash mod 2^32 — TextHash.mix32 /
+    * SimHashParts.mix32 twin. `h` must be a cheap expression (a lambda
+    * variable): it is repeated textually.
+    */
+  def mix32(h: String): String = {
+    val m = s"xor($h, $h >> 16)"
+    val x = s"((((($m >> 16) * 2654435761) % 65536) * 65536 + ($m % 65536) * 2654435761 + 1013904223) % $M)"
+    s"xor($x, $x >> 16)"
+  }
+
+  /** `words`×32-bit simhash part expressions over token-hash list `th`:
+    * part w votes with w applications of [[mix32]] — the SQL twin of
+    * `TextHash.simhashParts`. Returns one SELECT-able expression per part.
+    */
+  def simhashPartExprs(th: String, words: Int): Seq[String] =
+    (0 until words).map { w =>
+      val mixed = (0 until w).foldLeft(th)((e, _) =>
+        s"list_transform($e, h -> ${mix32("h")})")
+      simhash(mixed, 32)
+    }
+
+  /** `bits`-bit (≤32) simhash over token-hash list column `th`. */
   def simhash(th: String, bits: Int = 16): String = {
     val terms = (0 until bits).map { b =>
       val s = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -451,8 +451,14 @@ object SparkEntry {
     }),
 
     "q28_simhash" -> ((s, dir) => {
-      Tables.load(s, dir, "documents").select(col("doc_id"),
-        graft.text.TextHash.simhash(col("text"), 16).as("simhash"))
+      // production-width 64-bit SimHash as two 32-bit parts (sign-safe on
+      // both engines), computed in one native-codegen pass per row
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextHash.simhashParts(col("text"), 2).as("__sig"))
+        .select(col("doc_id"),
+          element_at(col("__sig"), 1).as("sig_lo"),
+          element_at(col("__sig"), 2).as("sig_hi"))
     }),
 
     "q29_minhash_pairs" -> ((s, dir) => {
@@ -513,8 +519,18 @@ object SparkEntry {
     }),
 
     "q50_simhash_pairs" -> ((s, dir) => {
-      graft.text.Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 3, blockCap = 256)
+      // 64-bit signatures, 4×16-bit bands; maxHamming=3 < 4 bands means
+      // banding recall is EXACT (pigeonhole). Order-scrambled twins (same
+      // token multiset, different bytes — the canonical SimHash catch that
+      // md5 dedup misses) are injected for every 10th doc so the query
+      // demonstrably finds them at the production width.
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sib = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat_ws(" ", reverse(graft.text.TextHash.tokens(col("text"))))
+            .as("text"))
+      graft.text.Dedup.simhashPairs(docs.unionByName(sib), "doc_id", "text",
+        maxHamming = 3, blockCap = 256)
     }),
 
     "q51_contamination" -> ((s, dir) => {
@@ -1140,18 +1156,29 @@ object SparkEntry {
 
     "q50_simhash_pairs" -> {
       val th = s"list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})"
-      s"""WITH t AS (SELECT doc_id, $th AS th FROM documents),
-         |sg AS (SELECT doc_id, ${OracleSqlGen.simhash("th")} AS sig FROM t),
+      val parts = OracleSqlGen.simhashPartExprs("th", 2)
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |sib AS (
+         |  SELECT doc_id + 1000000000 AS doc_id,
+         |    array_to_string(list_reverse(${OracleSqlGen.toks("text")}), ' ') AS text
+         |  FROM base WHERE doc_id % 10 = 0
+         |), alld AS (
+         |  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM sib
+         |), t AS (SELECT doc_id, $th AS th FROM alld),
+         |sg AS (SELECT doc_id, ${parts(0)} AS p0, ${parts(1)} AS p1 FROM t),
          |banded AS (
-         |  SELECT doc_id, sig, unnest([
-         |    'lo:' || CAST(sig % 256 AS VARCHAR),
-         |    'hi:' || CAST(sig // 256 AS VARCHAR)]) AS bkey
+         |  SELECT doc_id, p0, p1, unnest([
+         |    '0:' || CAST(p0 % 65536 AS VARCHAR),
+         |    '1:' || CAST(p0 // 65536 AS VARCHAR),
+         |    '2:' || CAST(p1 % 65536 AS VARCHAR),
+         |    '3:' || CAST(p1 // 65536 AS VARCHAR)]) AS bkey
          |  FROM sg
          |), capped AS (
          |  SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY bkey) <= 256
          |), pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |    CAST(bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) AS BIGINT)
+         |      AS hamming
          |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          |)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
@@ -1305,8 +1332,10 @@ object SparkEntry {
 
     "q28_simhash" -> {
       val th = s"list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})"
+      val parts = OracleSqlGen.simhashPartExprs("th", 2)
       s"""WITH t AS (SELECT doc_id, $th AS th FROM documents)
-         |SELECT doc_id, ${OracleSqlGen.simhash("th")} AS simhash FROM t""".stripMargin
+         |SELECT doc_id, ${parts(0)} AS sig_lo, ${parts(1)} AS sig_hi
+         |FROM t""".stripMargin
     },
 
     "q29_minhash_pairs" -> {

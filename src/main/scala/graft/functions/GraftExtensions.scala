@@ -34,5 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_intersect_count(a, b) - |A ∩ B| of sorted long arrays"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_parts"),
+      info("graft_simhash_parts",
+        "graft_simhash_parts(tokens, words) - wide SimHash as words x 32-bit parts"),
+      (children: Seq[Expression]) => {
+        val words = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash_parts: words must be an int literal, got $other")
+        }
+        SimHashParts(children.head, words)
+      }))
   }
 }

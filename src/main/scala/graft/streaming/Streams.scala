@@ -52,19 +52,37 @@ object Streams {
       delay: String): DataFrame =
     df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(idCols)
 
-  /** Streaming NEAR-dedup: drops documents whose 16-bit SimHash signature
+  /** Streaming NEAR-dedup: drops documents whose SimHash signature
     * (order/repetition-robust) collides with one already seen inside the
     * watermark horizon. Signature equality is the O(1)-state streaming
-    * stand-in for the batch banded-hamming pair join
-    * ([[graft.text.Dedup]]); at 16 bits identical signatures ≈ near-identical
-    * token multisets.
+    * stand-in for the batch banded-hamming pair join ([[graft.text.Dedup
+    * .simhashPairs]]).
+    *
+    * Width matters: the state key is the full `words`×32-bit signature
+    * (default 64 bits). At the round-3 width of 16 bits only 65,536
+    * signatures existed, so birthday collisions between UNRELATED docs
+    * started around ~300 in-horizon documents and each collision silently
+    * dropped a distinct doc. At 64 bits the false-drop probability for K
+    * in-horizon docs is ≈ K²/2^65 (birthday bound over well-mixed
+    * signatures) — ~5·10^-8 at K=10^6, negligible at any horizon a
+    * watermark would realistically hold. The remaining documented trade is
+    * false NEGATIVES: two near-dups farther apart than the watermark delay
+    * both survive, and near-dups whose signatures differ in ≥1 bit are not
+    * caught by equality (use the batch pair join for hamming-tolerant
+    * dedup).
     */
   def dedupSimhashStream(df: DataFrame, textCol: String, ts: String,
-      delay: String): DataFrame =
-    df.withColumn("__sig", graft.text.TextHash.simhash(col(textCol)))
+      delay: String, words: Int = 2): DataFrame = {
+    val sigCols = (0 until words).map(w => s"__sig$w")
+    val withSig = sigCols.zipWithIndex.foldLeft(
+      df.withColumn("__sig", graft.text.TextHash.simhashParts(col(textCol), words))) {
+      case (d, (c, w)) => d.withColumn(c, element_at(col("__sig"), w + 1))
+    }.drop("__sig")
+    withSig
       .withWatermark(ts, delay)
-      .dropDuplicatesWithinWatermark(Seq("__sig"))
-      .drop("__sig")
+      .dropDuplicatesWithinWatermark(sigCols)
+      .drop(sigCols: _*)
+  }
 }
 
 /** Streaming backward as-of enrich: the live-path twin of

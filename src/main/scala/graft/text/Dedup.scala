@@ -378,34 +378,49 @@ object Dedup {
       .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup pairs: 16-bit signatures, candidates = equal signature
-    * halves (two 8-bit bands), verified by hamming <= maxHamming.
+  /** SimHash near-dup pairs at production width: `words`×32-bit signatures
+    * (default 64 bits), candidates = any shared 16-bit band (2·words
+    * bands), verified by total hamming ≤ maxHamming.
+    *
+    * Recall is EXACT up to the block cap whenever maxHamming < 2·words: a
+    * qualifying pair's ≤ maxHamming differing bits land in at most
+    * maxHamming of the 2·words bands, so some band matches (pigeonhole) —
+    * no qualifying pair is missed by banding itself. The round-3 16-bit
+    * signature failed precisely here at scale: 2^16 distinct signatures
+    * collapse into capped mega-buckets past ~10^7 docs; 64 bits keep
+    * bucket sizes ~|corpus|/2^16 per band with real entropy per band key.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      blockCap: Int = 256
+      blockCap: Int = 256,
+      words: Int = 2
   ): DataFrame = {
-    val bits = 16
     val sig = df.select(col(idCol).as("id"),
-      TextHash.simhash(col(textCol), bits).as("sig"))
+      TextHash.simhashParts(col(textCol), words).as("sig"))
+    // 16-bit band slices of each part, tagged with the band index
+    val bandExprs = (0 until words).flatMap { w =>
+      val p = element_at(col("sig"), w + 1)
+      Seq(concat(lit(s"${2 * w}:"), pmod(p, lit(65536L))),
+        concat(lit(s"${2 * w + 1}:"), shiftright(p, 16)))
+    }
     val banded = sig.select(col("id"), col("sig"),
-      explode(array(
-        concat(lit("lo:"), pmod(col("sig"), lit(256L))),
-        concat(lit("hi:"), (col("sig") / 256L).cast("long"))
-      )).as("bkey"))
+      explode(array(bandExprs: _*)).as("bkey"))
     val capped = banded
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
       .where(col("bsize") <= blockCap).drop("bsize")
     val a = capped.select(col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val hamming = (0 until words).map { w =>
+      bit_count(element_at(col("sig_a"), w + 1)
+        .bitwiseXOR(element_at(col("sig_b"), w + 1)))
+    }.reduce(_ + _).cast("long")
     a.join(b, Seq("bkey"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextHash.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

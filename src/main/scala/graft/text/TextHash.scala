@@ -80,8 +80,58 @@ object TextHash {
       folded
     }: _*)
 
+  /** Xorshift + Knuth multiplicative mix of a 32-bit hash, mod 2^32 — the
+    * declarative twin of [[graft.functions.SimHashParts.mix32]] (split
+    * multiply keeps every intermediate < 2^49: ANSI-overflow-safe, and the
+    * identical closed form is plain BIGINT SQL in `OracleSqlGen.mix32`).
+    * Derives the independent upper signature words of the wide SimHash; the
+    * xorshift is what breaks the low-bit correlation a pure LCG step keeps.
+    */
+  def mix32(h: Column): Column = {
+    val m = h.bitwiseXOR(shiftright(h, 16))
+    val x = pmod(
+      pmod(shiftright(m, 16) * 2654435761L, lit(65536L)) * 65536L +
+        pmod(m, lit(65536L)) * 2654435761L + 1013904223L,
+      lit(M))
+    x.bitwiseXOR(shiftright(x, 16))
+  }
+
+  /** Production-width SimHash: `words` 32-bit parts (words=2 → 64 bits),
+    * one native-codegen pass over the tokens ([[graft.functions
+    * .SimHashParts]]). Part 0 votes with [[polyHash]]; part k with k
+    * [[mix32]] applications. 32-bit parts keep every downstream op
+    * (16-bit band slices, xor, popcount) in non-negative long range on
+    * both engines — no 64-bit sign-bit traps.
+    */
+  def simhashParts(text: Column, words: Int = 2): Column =
+    graft.functions.SimHashParts(tokens(text), words)
+
+  /** Declarative fold twin of [[simhashParts]] — HOF-only, used by the
+    * parity spec to pin the native expression; O(words·32) array
+    * traversals per row, so the native path is the one operators use.
+    */
+  private[graft] def simhashPartsDeclarative(text: Column, words: Int): Column = {
+    val h0 = transform(tokens(text), polyHash _)
+    val hashLists = Iterator.iterate(h0)(hs => transform(hs, mix32 _))
+      .take(words).toSeq
+    array(hashLists.map(hs => simhashOfHashes(hs, 32)): _*)
+  }
+
+  /** 32-bit-or-narrower simhash fold over a precomputed token-hash array. */
+  private def simhashOfHashes(hashes: Column, bits: Int): Column = {
+    val bitSums = (0 until bits).map { b =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(pmod(shiftright(h, b), lit(2L)) === 1L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** SimHash over whitespace tokens with `bits`-bit token hashes:
     * bit b of the simhash is 1 iff Σ_tokens (±1 by token-hash bit b) > 0.
+    * Narrow single-value form (bits ≤ 32) — kept for compatibility and
+    * tiny-cardinality uses; the dedup operators use [[simhashParts]].
     */
   def simhash(text: Column, bits: Int = 16): Column = {
     val toks = tokens(text)
