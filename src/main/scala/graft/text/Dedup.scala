@@ -304,6 +304,26 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** ONE shared per-document prep frame — the single expensive scan every
+    * dedup operator needs: (id, blk, sh = sorted distinct shingle hashes,
+    * sz, __md5). Computed once and cached; [[dedupDocs]],
+    * [[contaminationPairs]], [[ngramJaccardPairs]] and (critically)
+    * [[dedupIncremental]] all thread the SAME frame through their exact
+    * (digest) and near (PPJoin) passes instead of re-shingling per pass.
+    */
+  private[text] def prepDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int
+  ): DataFrame = materialize(
+    df.select(
+      col(idCol).as("id"), blockKey.as("blk"),
+      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"),
+      md5(col(textCol)).as("__md5"))
+      .withColumn("sz", size(col("sh"))))
+
   /** End-to-end document dedup: exact duplicates (same text digest) and
     * near-duplicates (exact n-gram Jaccard ≥ threshold via the PPJoin path)
     * are merged into clusters and only each cluster's smallest id survives.
@@ -321,28 +341,29 @@ object Dedup {
       blockKey: org.apache.spark.sql.Column,
       shingleN: Int = 3,
       threshold: Double = 0.7
+  ): DataFrame =
+    dedupDocsFromPrepped(df.select(col(idCol)),
+      prepDocs(df, idCol, textCol, blockKey, shingleN), idCol, threshold)
+
+  /** [[dedupDocs]] over an existing prep frame — lets composite operators
+    * ([[dedupIncremental]]) reuse one scan for every pass.
+    */
+  private[text] def dedupDocsFromPrepped(
+      ids: DataFrame,
+      prepped: DataFrame,
+      idCol: String,
+      threshold: Double
   ): DataFrame = {
-    // ONE scan of the raw documents feeds both edge generators: the md5
-    // digest (exact edges, all docs incl. shingle-less short ones) and the
-    // shingle sets (near edges) are computed side by side and cached once
-    val shared = materialize(df.select(
-      col(idCol).as("id"), blockKey.as("blk"),
-      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"),
-      md5(col(textCol)).as("__md5"))
-      .withColumn("sz", size(col("sh"))))
-    val keepers = shared.withColumn("__keeper",
+    val keepers = prepped.withColumn("__keeper",
       min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__md5"))))
     val exactEdges = keepers.where(col("id") =!= col("__keeper"))
       .select(col("__keeper").as("id_a"), col("id").as("id_b"))
-    val nearEdges = jaccardFromPrepped(
-      shared.where(col("sz") > 0).select(col("id"), col("blk"), col("sh"), col("sz")),
-      threshold)
+    val nearEdges = ppjoinFromPrepped(prepped, None, threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = resolveClusters(exactEdges.unionByName(nearEdges))
-    df.select(col(idCol))
-      .join(clusters.where(col("id") =!= col("cluster_id"))
-        .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    ids.join(clusters.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Incremental dedup — the daily-ingest production shape: admit only the
@@ -350,9 +371,15 @@ object Dedup {
     * (n-gram Jaccard ≥ threshold) of the EXISTING corpus, nor of a batch
     * sibling. The corpus is never re-deduped (its keep decisions are
     * final) and never self-joined — each call costs one batch-vs-corpus
-    * prefix-filtered similarity join ([[contaminationPairs]]) plus a
-    * batch-internal [[dedupDocs]], both bounded by batch size, so daily
-    * ingest stays O(batch · corpus-index), not O(corpus²).
+    * prefix-filtered similarity join plus a batch-internal [[dedupDocs]],
+    * both bounded by batch size, so daily ingest stays
+    * O(batch · corpus-index), not O(corpus²).
+    *
+    * Each side is prepped (shingled + digested) exactly ONCE and the same
+    * cached frame feeds all three passes — the corpus digest semi-join,
+    * the cross-table PPJoin, and the batch-internal cluster dedup. (The
+    * round-3 composition re-shingled the batch twice and digested the
+    * corpus separately: ~40% of its cost was redundant prep.)
     * Returns the admitted batch ids (one `idCol` column).
     */
   def dedupIncremental(
@@ -364,16 +391,17 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.7
   ): DataFrame = {
+    val bp = prepDocs(batch, idCol, textCol, blockKey, shingleN)
+    val cp = prepDocs(corpus, idCol, textCol, blockKey, shingleN)
     // exact collisions with the corpus: digest semi-join (never the text)
-    val bMd5 = batch.select(col(idCol).as("id"), md5(col(textCol)).as("__md5"))
-    val cMd5 = corpus.select(md5(col(textCol)).as("__md5")).distinct()
-    val exactHit = bMd5.join(cMd5, Seq("__md5"), "left_semi").select(col("id"))
+    val exactHit = bp.select(col("id"), col("__md5"))
+      .join(cp.select(col("__md5")).distinct(), Seq("__md5"), "left_semi")
+      .select(col("id"))
     // near collisions with the corpus: cross-table prefix-filtered jaccard
-    val nearHit = contaminationPairs(corpus, idCol, batch, idCol, textCol,
-        blockKey, shingleN, threshold)
-      .select(col("bench_id").as("id")).distinct()
+    val nearHit = ppjoinFromPrepped(cp, Some(bp), threshold)
+      .select(col("id_b").as("id")).distinct()
     // batch-internal keep-list (exact ∪ near clusters, min id kept)
-    dedupDocs(batch, idCol, textCol, blockKey, shingleN, threshold)
+    dedupDocsFromPrepped(batch.select(col(idCol)), bp, idCol, threshold)
       .join(exactHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -449,45 +477,66 @@ object Dedup {
       blockKey: org.apache.spark.sql.Column,
       shingleN: Int = 3,
       threshold: Double = 0.3
-  ): DataFrame = {
-    val prepped = df.select(col(idCol).as("id"), blockKey.as("blk"),
-      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .where(col("sz") > 0)
-      // materialized once: reused by the frequency pass, the prefix join
-      // (both sides) and the verification payload re-fetch (both sides)
-      .transform(materialize)
-    jaccardFromPrepped(prepped, threshold)
-  }
+  ): DataFrame =
+    ppjoinFromPrepped(prepDocs(df, idCol, textCol, blockKey, shingleN),
+      None, threshold)
 
-  /** PPJoin core over an already-prepped (id, blk, sh, sz) frame — shared by
-    * [[ngramJaccardPairs]] and [[dedupDocs]] so the latter's one cached scan
-    * feeds both its exact and near edge generators.
+  /** THE prefix-filtered set-similarity core, parameterized over self-join
+    * (near-dup pairs within one table) vs cross-join (contamination /
+    * incremental ingest against a second table) — one implementation of
+    * the prefix-filtering theorem so a threshold tweak can never drift the
+    * two modes apart:
+    *
+    *  1. global shingle document-frequencies — over `a` alone in self
+    *     mode, over the UNION of both sides in cross mode (the theorem
+    *     needs one consistent rarity order across everything joined);
+    *  2. each doc keeps only its floor((1−t)·|A|)+1 rarest shingles (the
+    *     PREFIX): two sets with J ≥ t MUST share a prefix shingle, so the
+    *     equi-join on prefix shingles generates every qualifying pair;
+    *  3. exact size-ratio prune (J ≥ t ⟹ min ≥ t·max) before any payload;
+    *  4. surviving id-pairs re-fetch their shingle sets and pay ONE
+    *     sorted-merge intersection each.
+    *
+    * Shuffles carry (shingle, id) prefix rows and id-pairs — never the
+    * full sets per pair. Rows with sz = 0 cannot reach threshold > 0 and
+    * are excluded up front.
+    *
+    * Returns (id_a, id_b, jaccard); in self mode id_a < id_b, in cross
+    * mode id_a is from `a` and id_b from the right side.
     */
-  private def jaccardFromPrepped(
-      prepped: DataFrame,
+  private[text] def ppjoinFromPrepped(
+      a: DataFrame,
+      b: Option[DataFrame],
       threshold: Double
   ): DataFrame = {
-    val long = prepped.select(col("id"), col("blk"), col("sz"),
-      explode(col("sh")).as("shingle"))
-    val freq = long.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-    val prefix = long.join(freq, Seq("shingle"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-      .select(col("shingle"), col("blk"), col("id"), col("sz"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
-          col("a.id") < col("b.id") &&
-          least(col("a.sz"), col("b.sz")).cast("double") >=
-          lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val pa = prepped.select(col("id").as("id_a"), col("sh").as("sh_a"),
+    def long(df: DataFrame) = df.where(col("sz") > 0)
+      .select(col("id"), col("blk"), col("sz"), explode(col("sh")).as("shingle"))
+    val freq = (Seq(a) ++ b).map(long).reduce(_ unionByName _)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    def prefix(df: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+      long(df).join(freq, Seq("shingle"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+        .select(col("shingle"), col("blk"), col("id"), col("sz"))
+    }
+    val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") >=
+      lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double")
+    val cand = (b match {
+      case None =>
+        val p = prefix(a)
+        p.as("a").join(p.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
+            col("a.id") < col("b.id") && sizeOk)
+      case Some(bp) =>
+        prefix(a).as("a").join(prefix(bp).as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
+            sizeOk)
+    }).select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val pa = a.select(col("id").as("id_a"), col("sh").as("sh_a"),
       col("sz").as("sz_a"))
-    val pb = prepped.select(col("id").as("id_b"), col("sh").as("sh_b"),
+    val pb = b.getOrElse(a).select(col("id").as("id_b"), col("sh").as("sh_b"),
       col("sz").as("sz_b"))
     cand.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
@@ -500,15 +549,8 @@ object Dedup {
 
   /** Cross-table exact n-gram Jaccard — the CONTAMINATION CHECK of a
     * training pipeline: which benchmark/eval documents appear (exactly or
-    * near-exactly) in the training corpus. Same PPJoin prefix-filtering
-    * shape as [[ngramJaccardPairs]], generalized to two tables:
-    *
-    *  1. shingle document-frequencies over the UNION of both sides (the
-    *     prefix theorem needs one consistent global rarity order);
-    *  2. each side keeps its floor((1−t)·|A|)+1 rarest shingles; candidates
-    *     come from the equi-join of the two prefix sets;
-    *  3. exact size-ratio prune, then id-only candidates re-fetch payloads
-    *     and pay one sorted-merge intersection per surviving pair.
+    * near-exactly) in the training corpus. The cross-join mode of
+    * [[ppjoinFromPrepped]] (one shared core with [[ngramJaccardPairs]]).
     *
     * Returns (train_id, bench_id, jaccard ≥ threshold). At 100 TB the train
     * side never self-joins and only prefix rows shuffle.
@@ -522,45 +564,13 @@ object Dedup {
       blockKey: org.apache.spark.sql.Column,
       shingleN: Int = 3,
       threshold: Double = 0.8
-  ): DataFrame = {
-    def prep(df: DataFrame, id: String) = materialize(
-      df.select(col(id).as("id"), blockKey.as("blk"),
-        array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"))
-        .withColumn("sz", size(col("sh")))
-        .where(col("sz") > 0))
-    val tp = prep(train, trainId)
-    val bp = prep(bench, benchId)
-    def long(df: DataFrame) = df.select(col("id"), col("blk"), col("sz"),
-      explode(col("sh")).as("shingle"))
-    val freq = long(tp).unionByName(long(bp))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    def prefix(df: DataFrame) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-      long(df).join(freq, Seq("shingle"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-        .select(col("shingle"), col("blk"), col("id"), col("sz"))
-    }
-    val cand = prefix(tp).as("a")
-      .join(prefix(bp).as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
-          least(col("a.sz"), col("b.sz")).cast("double") >=
-          lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double"))
-      .select(col("a.id").as("train_id"), col("b.id").as("bench_id"))
-      .distinct()
-    val pa = tp.select(col("id").as("train_id"), col("sh").as("sh_a"),
-      col("sz").as("sz_a"))
-    val pb = bp.select(col("id").as("bench_id"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
-    cand.join(pa, Seq("train_id")).join(pb, Seq("bench_id"))
-      .select(col("train_id"), col("bench_id"), col("sz_a"), col("sz_b"),
-        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b"))
-          .cast("double").as("inter"))
-      .select(col("train_id"), col("bench_id"),
-        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-  }
+  ): DataFrame =
+    ppjoinFromPrepped(
+      prepDocs(train, trainId, textCol, blockKey, shingleN),
+      Some(prepDocs(bench, benchId, textCol, blockKey, shingleN)),
+      threshold)
+      .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+        col("jaccard"))
 
   /** Embedding cosine near-dup pairs within LSH sign-buckets (see Ann). */
   def embeddingPairs(
