@@ -64,15 +64,50 @@ object GraftSession {
       // can't help a killed/finished app) — sweep stale ones from OUR
       // managed default so tmpfs doesn't fill across bench runs. Never
       // sweeps a user-provided SPARK_GRAFT_CHECKPOINT_DIR (could be shared
-      // cluster scratch); 30-min age guard protects a concurrently-running
-      // sibling JVM.
+      // cluster scratch). Staleness = no fresh HEARTBEAT: dir mtime alone
+      // is not liveness — a sibling JVM mid-GP-search can legitimately go
+      // 30+ min without writing a checkpoint, and sweeping its reliable
+      // checkpoints would break the exact recovery path they exist for.
+      // Every live session touches `.graft-heartbeat` in its own subdir
+      // every 5 min (daemon timer below); the sweep only deletes subdirs
+      // whose heartbeat (or, for foreign/crashed dirs without one, mtime)
+      // is older than 30 min.
       if (!sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR")) {
         val root = new java.io.File(dir)
         val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
         Option(root.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.lastModified() < cutoff)
+          .filter { f =>
+            val hb = new java.io.File(f, ".graft-heartbeat")
+            f.isDirectory &&
+              (if (hb.exists()) hb.lastModified() < cutoff
+               else f.lastModified() < cutoff)
+          }
           .foreach(f => scala.reflect.io.Directory(f).deleteRecursively())
       }
       s.sparkContext.setCheckpointDir(dir)
+      // heartbeat for OUR checkpoint subdir (setCheckpointDir appended a
+      // per-app UUID): touch now + every 5 min from a daemon timer, so a
+      // later-starting JVM's sweep sees this session as alive however long
+      // it goes between checkpoint writes
+      s.sparkContext.getCheckpointDir
+        .map(java.net.URI.create)
+        // local-fs dirs only: the sweep above only ever touches the managed
+        // local default, and a cluster checkpoint dir (hdfs:/...) has no
+        // local heartbeat to keep
+        .filter(u => u.getScheme == null || u.getScheme == "file")
+        .foreach { cdUri =>
+        val cd = new java.io.File(cdUri.getPath)
+        val hb = new java.io.File(cd, ".graft-heartbeat")
+        def touch(): Unit =
+          try {
+            hb.getParentFile.mkdirs()
+            if (!hb.createNewFile()) hb.setLastModified(System.currentTimeMillis())
+          } catch { case _: java.io.IOException => () }
+        touch()
+        val t = new java.util.Timer("graft-ckpt-heartbeat", true)
+        t.scheduleAtFixedRate(new java.util.TimerTask {
+          override def run(): Unit = touch()
+        }, 5L * 60 * 1000, 5L * 60 * 1000)
+      }
     }
 }

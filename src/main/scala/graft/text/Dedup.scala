@@ -29,10 +29,16 @@ object Dedup {
     * loop running 50+ queries) can bound cache growth with [[releaseCache]]
     * instead of waiting for the GC-driven ContextCleaner.
     */
-  private val cachedPreps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val cachedPreps =
+    scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
   private def materialize(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cachedPreps += p
+    // WEAK reference: a library caller who never calls releaseCache() must
+    // not have cache blocks pinned forever — once the caller drops the
+    // returned frame, the GC-driven ContextCleaner reclaims the persisted
+    // RDD as it always could (a strong ref here would defeat it). Bench /
+    // Verify loops still get deterministic release via releaseCache().
+    cachedPreps += new java.lang.ref.WeakReference(p)
     p
   }
 
@@ -42,7 +48,7 @@ object Dedup {
     * their multiple scans, so the caller owns the release point.
     */
   def releaseCache(): Unit = synchronized {
-    cachedPreps.foreach(_.unpersist(false))
+    cachedPreps.foreach(r => Option(r.get()).foreach(_.unpersist(false)))
     cachedPreps.clear()
   }
 
@@ -109,9 +115,11 @@ object Dedup {
       edges.select(col("a").as("id")).distinct()
         .withColumn("label", col("id")), reliable = true)
     var lastReliable = labels
+    var lastReliableRound = 0
     var converged = false
     var round = 0
-    var retries = 0
+    var retries = 0       // consecutive failures since the last good round
+    var totalFailures = 0 // lifetime cap so a flapping cluster can't loop forever
     var finishAttempts = 2 // stop probing if the active subgraph won't fit
 
     // Driver finish: collect the active label-connectivity subgraph —
@@ -211,7 +219,9 @@ object Dedup {
         if (sys.env.contains("GRAFT_DEBUG_CC"))
           System.err.println(s"[cc] round=$round changed=$changed")
         labels = jumped
-        if (reliableRound) lastReliable = jumped
+        retries = 0 // a good round clears the consecutive-failure budget:
+        // 3 transient faults spread over a long job must not kill the 4th
+        if (reliableRound) { lastReliable = jumped; lastReliableRound = round }
         // the relabel count is the cheap proxy for a small active frontier
         if (!converged && driverFinishEdges > 0 && finishAttempts > 0 &&
             changed <= driverFinishEdges)
@@ -219,13 +229,15 @@ object Dedup {
       } catch {
         case e: org.apache.spark.SparkException =>
           retries += 1
-          if (retries > 3) throw e
+          totalFailures += 1
+          if (retries > 3 || totalFailures > 10) throw e
           // lost localCheckpoint blocks (executor death): rewind to the
-          // last reliable checkpoint and redo at most reliableEvery-1
-          // rounds. The failed round did no propagation work, so it must
-          // not consume the convergence budget (otherwise a few failures
-          // could exhaust maxRounds on a graph that needs them).
-          round -= 1
+          // last reliable checkpoint. Rewinding REPLAYS every round since
+          // that checkpoint, so the round counter goes back to the
+          // checkpoint's round — replayed rounds must not consume the
+          // convergence budget (a few failures would otherwise exhaust
+          // maxRounds on a graph that legitimately needs them).
+          round = lastReliableRound
           labels = lastReliable
           converged = false
       }

@@ -98,37 +98,47 @@ object Packing {
     // the hash-collision tiebreak must be the NATIVE-typed id ordering so
     // packGreedy and packChunked agree on the same (df, seed); a string
     // cast would order numeric ids lexicographically. The rank window runs
-    // per bucket — the same shuffle the groupByKey needs anyway.
-    val prepped = df.select(
-      id.cast("string").as("id"),
+    // per bucket — the same shuffle the groupByKey needs anyway. The
+    // NATIVE-typed id rides through the group pass in a Row (generic over
+    // the id type), so the output id column matches the input's (and
+    // packChunked's) type exactly — no string cast leaks out.
+    val ranked = df.select(
+      id.as("id"),
       pmod(TextHash.polyHash(id.cast("string")), lit(buckets.toLong)).as("bucket"),
       shuffleOrder(id, seed).as("ord"),
-      col(tokensCol).cast("long").as("toks"),
-      id.as("__nid"))
+      col(tokensCol).cast("long").as("toks"))
       .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bucket")).orderBy(col("ord"), col("__nid"))).cast("long"))
+          .partitionBy(col("bucket")).orderBy(col("ord"), col("id"))).cast("long"))
       .select(col("id"), col("bucket"), col("rank"), col("toks"))
-      .as[(String, Long, Long, Long)]
-    prepped
-      .groupByKey(_._2)
-      .flatMapGroups { (bucket: Long, rows: Iterator[(String, Long, Long, Long)]) =>
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", ranked.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("oversize",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    ranked
+      .groupByKey(_.getAs[Long]("bucket"))
+      .flatMapGroups { (bucket: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
         var seq = 0L
         var used = 0L
         var first = true
-        rows.toVector.sortBy(r => r._3).iterator.map {
-          case (docId, _, _, toks) =>
-            val oversize = toks > budget
-            if (!first && (oversize || used + toks > budget)) {
-              seq += 1; used = 0L
-            }
-            first = false
-            used += toks
-            if (oversize) { val s = seq; seq += 1; used = 0L; first = true
-              (docId, bucket, s, true)
-            } else (docId, bucket, seq, false)
+        rows.toVector.sortBy(_.getAs[Long]("rank")).iterator.map { r =>
+          val toks = r.getAs[Long]("toks")
+          val oversize = toks > budget
+          if (!first && (oversize || used + toks > budget)) {
+            seq += 1; used = 0L
+          }
+          first = false
+          used += toks
+          if (oversize) {
+            val s = seq; seq += 1; used = 0L; first = true
+            org.apache.spark.sql.Row(r.get(0), bucket, s, true)
+          } else org.apache.spark.sql.Row(r.get(0), bucket, seq, false)
         }
-      }
-      .toDF("id", "bucket", "seq_id", "oversize")
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 }

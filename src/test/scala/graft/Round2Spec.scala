@@ -511,7 +511,10 @@ class Round2Spec extends GraftSuite {
       .withColumn("toks", size(graft.text.TextHash.tokens(col("text"))).cast("long"))
     val p = Packing.packGreedy(real, "doc_id", "toks", budget = 64L, buckets = 4)
     assert(p.count() == real.count())
-    val sums = p.join(real.select(col("doc_id").cast("string").as("id"), col("toks")), Seq("id"))
+    // packGreedy now returns the NATIVE-typed id (here: long) — join
+    // directly, no cast; also pins the advice-fixed output type
+    assert(p.schema("id").dataType == real.schema("doc_id").dataType)
+    val sums = p.join(real.select(col("doc_id").as("id"), col("toks")), Seq("id"))
       .groupBy(col("bucket"), col("seq_id"))
       .agg(sum(col("toks")).as("t"), max(col("oversize").cast("int")).as("ov"),
         count(lit(1)).as("n")).collect()
