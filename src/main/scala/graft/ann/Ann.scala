@@ -162,12 +162,33 @@ object Ann {
     IvfModel(centroids)
   }
 
-  /** Nearest-centroid assignment via a single generated expression over the
-    * broadcast centroid literals (array_position of the max dot) — no
-    * shuffle, no UDF.
+  /** Past this many centroids, assignment/probing switches from literal
+    * subexpressions to the [[graft.functions.NearestCentroids]] reference-
+    * object kernel: the literal plan is O(nList·dim) expression NODES and
+    * Catalyst analysis/codegen blows up at the list counts a real corpus
+    * needs (4k-64k); the kernel's plan size is constant at any nList.
+    * Both paths are IEEE-op-identical (AnnParitySpec pins it).
+    */
+  private[graft] val literalMaxCentroids = 16
+
+  /** Nearest-centroid assignment — no shuffle, no join, no UDF: a single
+    * projection either over centroid literals (small nList; fully
+    * codegen-inlined) or over the constant-plan-size native kernel.
     */
   private def assignCentroid(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.length >= 2, "IVF needs at least two centroids")
+    if (centroids.length <= literalMaxCentroids) assignCentroidLiteral(df, centroids)
+    else df.withColumn("__list",
+      element_at(
+        graft.functions.NearestCentroids(col("cv"), centroids, 1, tieLargerIdx = false),
+        1))
+  }
+
+  /** Literal-expression assignment (the small-nList fast path; also the
+    * parity reference for the native kernel).
+    */
+  private[graft] def assignCentroidLiteral(
+      df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val sims = centroids.map { ctr =>
       val carr = array(ctr.map(lit(_)): _*)
       dot(col("cv"), carr) / (norm(col("cv")) * lit(math.sqrt(ctr.map(x => x * x).sum)))
@@ -177,6 +198,29 @@ object Ann {
     }
     df.withColumn("__list", (-greatest(best: _*).getField("ni")).cast("int"))
   }
+
+  /** Per-query probe lists (nProbe nearest centroids, ties → larger id,
+    * matching `reverse(array_sort(...))` of the literal path) as an
+    * array<int> column.
+    */
+  private[graft] def probeListsLiteral(
+      qv: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val sims = centroids.zipWithIndex.map { case (ctr, i) =>
+      val carr = array(ctr.map(lit(_)): _*)
+      struct((dot(qv, carr) /
+        (norm(qv) * lit(math.sqrt(ctr.map(x => x * x).sum)))).as("s"),
+        lit(i).as("li"))
+    }
+    transform(slice(reverse(array_sort(array(sims: _*))), 1, nProbe),
+      p => p.getField("li"))
+  }
+
+  private def probeLists(
+      qv: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    if (centroids.length <= literalMaxCentroids)
+      probeListsLiteral(qv, centroids, nProbe)
+    else
+      graft.functions.NearestCentroids(qv, centroids, nProbe, tieLargerIdx = true)
 
   /** IVF top-k: corpus rows are bucketed by nearest centroid (the inverted
     * lists); each query probes only its `nProbe` nearest lists and reranks
@@ -195,16 +239,8 @@ object Ann {
     val c = assignCentroid(
       corpus.select(col("cid"), toDouble(col("vec")).as("cv")), model.centroids)
     val q0 = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
-    // per-query nProbe nearest centroid ids, as one array literal expression
-    val sims = model.centroids.zipWithIndex.map { case (ctr, i) =>
-      val carr = array(ctr.map(lit(_)): _*)
-      struct((dot(col("qv"), carr) /
-        (norm(col("qv")) * lit(math.sqrt(ctr.map(x => x * x).sum)))).as("s"),
-        lit(i).as("li"))
-    }
-    val probes = slice(reverse(array_sort(array(sims: _*))), 1, nProbe)
     val q = q0.withColumn("__list",
-      explode(transform(probes, p => p.getField("li"))))
+      explode(probeLists(col("qv"), model.centroids, nProbe)))
     val scored = q.join(c, Seq("__list"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
