@@ -729,6 +729,19 @@ object SparkEntry {
         batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0),
         corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0),
         "doc_id", "text", blockKey = col("lang"), threshold = 0.7)
+    }),
+
+    "q63_bm25_batch" -> ((s, dir) => {
+      // multi-query BM25 — the realistic curation shape (many seed queries
+      // at once): ONE stats pass over the union of all terms, one scan,
+      // one score column per query
+      graft.text.Retrieval.bm25Batch(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("bm25_q1" -> Seq("window", "join", "merge"),
+          "bm25_q2" -> Seq("data", "the"),
+          "bm25_q3" -> Seq("stream", "shuffle", "partition", "sort")))
+        .select(col("doc_id"), col("n_tokens"),
+          col("bm25_q1"), col("bm25_q2"), col("bm25_q3"))
     })
   )
 
@@ -1721,28 +1734,65 @@ object SparkEntry {
          |FROM p, a""".stripMargin
     },
 
+    "q63_bm25_batch" -> {
+      // same op-order mirror as q59, generalized: df stats over the UNION
+      // of all query terms, one score expression per query
+      val queryDefs = Seq(
+        "bm25_q1" -> Seq("window", "join", "merge"),
+        "bm25_q2" -> Seq("data", "the"),
+        "bm25_q3" -> Seq("stream", "shuffle", "partition", "sort"))
+      val allTerms = queryDefs.flatMap(_._2).distinct
+      val termIdx = allTerms.zipWithIndex.toMap
+      val tkExpr = OracleSqlGen.toks("lower(text)")
+      val dfCols = allTerms.indices.map(i =>
+        s"CAST(sum(CASE WHEN list_contains(tk, '${allTerms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n    ")
+      def term(w: String): String = {
+        val i = termIdx(w)
+        val tf = s"CAST(len(list_filter(tk, x -> x = '$w')) AS DOUBLE)"
+        val idf = s"ln((CAST(n - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)"
+        s"(($idf * ($tf * (1.2 + 1.0))) / ($tf + 1.2 * (0.25 + (0.75 * CAST(len(tk) AS DOUBLE)) / avgdl)))"
+      }
+      val scoreCols = queryDefs.map { case (nm, q) =>
+        s"round(${q.map(term).mkString(" + ")}, 6) AS $nm"
+      }.mkString(",\n  ")
+      s"""WITH p AS (
+         |  SELECT doc_id, $tkExpr AS tk FROM documents
+         |), s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(tk)) AS BIGINT) AS tot,
+         |    $dfCols
+         |  FROM p
+         |), a AS (
+         |  SELECT *, CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM s
+         |)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  $scoreCols
+         |FROM p, a""".stripMargin
+    },
+
     "q60_unigram_lm" -> {
+      // per-token log-probs quantized to integer micro-units and integer-
+      // summed (associative, exact, order-FREE) — the same arithmetic as
+      // Retrieval.unigramLogProb; no per-doc position list needed
       val tkExpr = OracleSqlGen.toks("lower(text)")
       s"""WITH p AS (
          |  SELECT doc_id, $tkExpr AS tk FROM documents
          |), tok AS (
-         |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
-         |      i -> {'pos': i, 'tok': tk[i]})) AS u
-         |    FROM p)
+         |  SELECT doc_id, unnest(tk) AS tok FROM p
          |), cnt AS (
          |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
          |), tv AS (
          |  SELECT CAST(CAST(sum(c) AS BIGINT) + count(*) AS DOUBLE) AS denom
          |  FROM cnt
          |), lp AS (
-         |  SELECT doc_id, pos,
-         |    ln(CAST(c + 1 AS DOUBLE) / denom) AS lp
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(c + 1 AS DOUBLE) / denom) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS lpq
          |  FROM tok JOIN cnt USING (tok), tv
          |), agg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
-         |      (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 6) AS avg_logp
+         |    round(CAST(CAST(sum(lpq) AS BIGINT) AS DOUBLE) / 1000000.0
+         |      / CAST(count(*) AS DOUBLE), 6) AS avg_logp
          |  FROM lp GROUP BY doc_id
          |)
          |SELECT d.doc_id, agg.n_tokens, agg.avg_logp

@@ -24,7 +24,7 @@ object Retrieval {
 
   /** Okapi BM25 scores for every document against `query` (lowercased
     * whitespace terms). Returns the input plus `bm25` (rounded to 6) and
-    * `n_tokens`.
+    * `n_tokens`. Single-query form of [[bm25Batch]].
     */
   def bm25(
       df: DataFrame,
@@ -33,14 +33,39 @@ object Retrieval {
       query: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75
+  ): DataFrame = bm25Batch(df, idCol, textCol, Seq("bm25" -> query), k1, b)
+
+  /** BM25 for a BATCH of queries — the realistic curation shape (many seed
+    * queries scored over the corpus at once): ONE stats pass computes the
+    * document frequencies of the UNION of all query terms, then every
+    * query's score is a column of the SAME projection — one corpus scan
+    * total, not one per query. Adds `n_tokens` plus one rounded score
+    * column per (name, terms) pair.
+    */
+  def bm25Batch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(String, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75
   ): DataFrame = {
-    require(query.nonEmpty, "empty query")
-    val qTerms = query.map(_.toLowerCase)   // tokens are lowercased — a
-                                            // mixed-case term would silently
-                                            // score 0 everywhere
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "empty query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query names")
+    val lowered = queries.map { case (nm, q) => nm -> q.map(_.toLowerCase) }
+    // tokens are single lowercased whitespace-free words; a term with
+    // interior whitespace can never match a token and would silently score
+    // 0 everywhere — reject the misuse loudly
+    lowered.foreach { case (nm, q) =>
+      require(q.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+        s"query '$nm': terms must be single non-empty words, got $q")
+    }
+    val allTerms = lowered.flatMap(_._2).distinct
+    val termIdx = allTerms.zipWithIndex.toMap
     val t = TextHash.lowerTokens(col(textCol))
     // one stats pass: corpus size, total tokens, per-term doc frequencies
-    val dfAggs = qTerms.zipWithIndex.map { case (w, i) =>
+    val dfAggs = allTerms.zipWithIndex.map { case (w, i) =>
       sum(when(array_contains(t, w), 1L).otherwise(0L)).as(s"df_$i")
     }
     val aggs = Seq(sum(size(t).cast("long")).as("tot")) ++ dfAggs
@@ -49,18 +74,20 @@ object Retrieval {
     val tot = statsRow.getAs[Long]("tot")
     require(tot > 0, "corpus has zero tokens — avgdl undefined (NaN scores)")
     val avgdl = tot.toDouble / n
-    val idf = qTerms.indices.map { i =>
+    val idf = allTerms.indices.map { i =>
       val dfi = statsRow.getAs[Long](s"df_$i")
       math.log((n - dfi + 0.5) / (dfi + 0.5) + 1.0)
     }
     val dl = size(t).cast("double")
-    val score = qTerms.zipWithIndex.map { case (w, i) =>
+    def termScore(w: String): org.apache.spark.sql.Column = {
       val tf = size(filter(t, x => x === w)).cast("double")
-      lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+      lit(idf(termIdx(w))) * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
-    }.reduce(_ + _)
-    df.withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("bm25", round(score, 6))
+    }
+    lowered.foldLeft(df.withColumn("n_tokens", size(t).cast("long"))) {
+      case (acc, (nm, q)) =>
+        acc.withColumn(nm, round(q.map(termScore).reduce(_ + _), 6))
+    }
   }
 
   /** Unigram-LM document scoring — the CCNet-style perplexity-proxy
@@ -71,26 +98,34 @@ object Retrieval {
     *
     * Scale shape: ONE groupBy over exploded tokens builds the count table
     * (O(vocab) rows); tokens then join back on the token key (AQE handles
-    * stopword skew) and per-document sums fold the per-position log-probs
-    * in POSITION ORDER (sorted collect), so the double summation is
-    * order-stable — the same result on any engine, any parallelism.
+    * stopword skew) and per-document sums are plain integer sums — each
+    * log-prob is quantized to MICRO-UNITS (floor(ln·10⁶ + 0.5) as long),
+    * and integer addition is associative and exact, so the sum is
+    * order-free: identical on any engine at any parallelism with NO
+    * per-document buffering. (The round-3 form collected and sorted every
+    * document's (pos, logp) structs to pin a double-fold order — O(doc)
+    * memory per group and an O(n log n) per-doc sort, the one new-op shape
+    * that degraded on long documents.) Quantization is also the output
+    * contract: avg_logp = round(Σ lpq / 10⁶ / n, 6), exact to ~10⁻⁶ —
+    * well inside the filter's discrimination band. Cross-engine, the only
+    * divergence source left is a last-ulp `ln` difference landing exactly
+    * on a .5 quantization boundary (probability ~10⁻⁹ per token).
     * Documents with no tokens score null.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksDf = df.select(col(idCol).as("__id"),
-      posexplode(TextHash.lowerTokens(col(textCol))).as(Seq("__pos", "__tok")))
+      explode(TextHash.lowerTokens(col(textCol))).as("__tok"))
     val counts = toksDf.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
     val tv = counts.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v")).head()
     val denom = (tv.getAs[Long]("__t") + tv.getAs[Long]("__v")).toDouble
     val scored = toksDf.join(counts, Seq("__tok"))
-      .withColumn("__lp", log((col("__c") + lit(1L)).cast("double") / denom))
+      .withColumn("__lpq",
+        floor(log((col("__c") + lit(1L)).cast("double") / denom) * lit(1e6) + lit(0.5)))
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        aggregate(
-          array_sort(collect_list(struct(col("__pos"), col("__lp")))),
-          lit(0.0), (acc, e) => acc + e.getField("__lp")).as("__sum"))
-      .withColumn("avg_logp", round(col("__sum") / col("n_tokens"), 6))
-      .drop("__sum")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lpq")).as("__sumq"))
+      .withColumn("avg_logp",
+        round(col("__sumq").cast("double") / lit(1e6) / col("n_tokens").cast("double"), 6))
+      .drop("__sumq")
     df.select(col(idCol)).join(scored.withColumnRenamed("__id", idCol),
       Seq(idCol), "left")
   }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Retrieval
+
+/** Round-4 operator specs: order-free unigram-LM scoring and batched BM25. */
+class Round4Spec extends GraftSuite {
+  import spark.implicits._
+
+  test("unigramLogProb: 100k-token doc — order-free integer sum matches a driver replay") {
+    val longText = (0 until 100000).map(i => s"t${i % 37}").mkString(" ")
+    val docs = Seq((1L, longText), (2L, "t0 t1 zebra"), (3L, ""))
+      .toDF("id", "text")
+    val out = Retrieval.unigramLogProb(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+
+    // driver replay of the exact arithmetic (same JVM ln, same quantization)
+    val toks1 = longText.split(" ").toSeq
+    val toks2 = Seq("t0", "t1", "zebra")
+    val all = toks1 ++ toks2
+    val counts = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val denom = (all.size.toLong + counts.size.toLong).toDouble
+    def lpq(w: String): Long =
+      math.floor(math.log((counts(w) + 1L).toDouble / denom) * 1e6 + 0.5).toLong
+    def avg(ts: Seq[String]): Double = {
+      val s = ts.map(lpq).sum
+      BigDecimal(s.toDouble / 1e6 / ts.size.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L)._1.contains(100000L))
+    assert(out(1L)._2.contains(avg(toks1)))
+    assert(out(2L)._2.contains(avg(toks2)))
+    assert(out(3L)._1.isEmpty && out(3L)._2.isEmpty, "empty doc scores null")
+  }
+
+  test("bm25Batch: one scan, no join; single-query wrapper identical to batch column") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    val q = Seq("window", "join", "merge")
+    val single = Retrieval.bm25(docs, "doc_id", "text", q)
+      .select(col("doc_id"), col("bm25"))
+    val batch = Retrieval.bm25Batch(docs, "doc_id", "text",
+      Seq("s1" -> q, "s2" -> Seq("data", "the")))
+    assert(batch.select(col("doc_id"), col("s1").as("bm25"))
+      .exceptAll(single).count() == 0)
+    // scoring is a pure projection: no join in the plan, exactly one scan
+    val p = batch.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "bm25Batch scoring must not join")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "bm25Batch must score all queries in one corpus scan")
+  }
+
+  test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Batch(docs, "doc_id", "text", Seq("x" -> Seq("two words")))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Batch(docs, "doc_id", "text",
+        Seq("x" -> Seq("a"), "x" -> Seq("b")))
+    }
+  }
+}
