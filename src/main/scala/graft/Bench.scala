@@ -27,6 +27,11 @@ object Bench {
     val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", tmpfsDefault)
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "80000").toLong
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
+    // min-of-N timed repeats per query: twice now a single timed pass
+    // recorded contention-inflated numbers on this shared box that a warm
+    // re-profile contradicted — the per-query MIN of 2 repeats is robust to
+    // one-off host noise for ~60s extra total (protocol: BASELINE.md §4)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "2").toInt.max(1)
     val spark = graft.core.GraftSession.local(cpus)
 
     // untimed warm pass per query so the timed numbers measure the engine's
@@ -40,14 +45,17 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case t: Throwable => System.err.println(s"[bench] $name: ${t.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // bound cache growth across the 50-query loop (prep frames are scoped
-      // to one query; releasing them is untimed bookkeeping)
-      graft.text.Dedup.releaseCache()
-      name -> dt
+      val dts = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case t: Throwable => System.err.println(s"[bench] $name: ${t.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // bound cache growth across the query loop (prep frames are scoped
+        // to one query; releasing them is untimed bookkeeping)
+        graft.text.Dedup.releaseCache()
+        dt
+      }
+      name -> dts.min
     }
 
     // flagship transcript pipeline (input synthesized once, reused);
@@ -67,7 +75,8 @@ object Bench {
       s"""{"metric":"flagship asof+window turns/sec","value":${tps.toLong},""" +
         s""""unit":"turns/sec","queries":$qs,"sf":"$sfDir",""" +
         s""""flagship_rows":$rows,"flagship_sec":${ms / 1000.0},""" +
-        s""""query_total_sec":${f"$total%.2f"},"cpus":$cpus,"warmups":$warmups}""")
+        s""""query_total_sec":${f"$total%.2f"},"cpus":$cpus,""" +
+        s""""warmups":$warmups,"repeats":$repeats}""")
     spark.stop()
   }
 }

@@ -132,4 +132,60 @@ class StreamingSpec extends GraftSuite {
     assert(Seq(3L, 5L, 6L).forall(kept.contains),
       s"distinct + post-eviction docs must survive, got ${kept.mkString(",")}")
   }
+
+  test("incremental dedup parity: batch fold == streaming exact dedup over the same 3 batches") {
+    import org.apache.spark.sql.functions._
+    import graft.text.Dedup
+    // the daily-ingest shapes now coexist: dedupIncremental (batch) and
+    // dedupExactStream (live). Replaying the SAME 3-batch corpus through
+    // both must admit the same ids inside the watermark horizon. Fixture
+    // has no intra-batch dups (whose survivor choice is arrival-order
+    // internal to the streaming op) and no near-dups at the 0.7 threshold,
+    // so both criteria coincide on exact-content identity.
+    val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((4L, "alpha beta gamma delta"), // exact dup of corpus doc 1
+      (5L, "nova quasar pulsar star")).toDF("doc_id", "text")
+    val b3 = Seq((6L, "omega psi chi phi"), // exact dup of corpus doc 2
+      (7L, "lorem ipsum dolor sit"),
+      (8L, "nova quasar pulsar star")) // exact dup of batch-2 admission
+      .toDF("doc_id", "text")
+    val all = b1.unionByName(b2).unionByName(b3)
+    val blk = lit(1)
+    // batch fold: day 1 self-dedups; later days admit vs the growing corpus
+    val a1 = Dedup.dedupDocs(b1, "doc_id", "text", blk)
+      .as[Long].collect().toSet
+    val c1 = all.where(col("doc_id").isin(a1.toSeq: _*))
+    val a2 = a1 ++ Dedup.dedupIncremental(b2, c1, "doc_id", "text", blk)
+      .as[Long].collect()
+    val c2 = all.where(col("doc_id").isin(a2.toSeq: _*))
+    val a3 = a2 ++ Dedup.dedupIncremental(b3, c2, "doc_id", "text", blk)
+      .as[Long].collect()
+    assert(a3 == Set(1L, 2L, 5L, 7L), s"batch fold admitted $a3")
+    // streaming: same batches through dropDuplicatesWithinWatermark on the
+    // content digest, horizon wider than the replay
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.dedupExactStream(
+      input.toDF().toDF("doc_id", "text", "ts")
+        .withColumn("__md5", md5(col("text"))),
+      Seq("__md5"), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("incpar_out")
+      .outputMode("append").start()
+    input.addData((1L, "alpha beta gamma delta", ts(10)),
+      (2L, "omega psi chi phi", ts(20)))
+    q.processAllAvailable()
+    input.addData((4L, "alpha beta gamma delta", ts(110)),
+      (5L, "nova quasar pulsar star", ts(120)))
+    q.processAllAvailable()
+    input.addData((6L, "omega psi chi phi", ts(210)),
+      (7L, "lorem ipsum dolor sit", ts(220)),
+      (8L, "nova quasar pulsar star", ts(230)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("incpar_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == a3,
+      s"stream admitted $streamed, batch fold admitted $a3 — must agree in-horizon")
+  }
 }
