@@ -22,7 +22,7 @@ object OracleSqlGen {
 
   /** UTF-8 bytes of a string as an int list (hex-digit extraction) — matches
     * JVM `getBytes("UTF-8")` for any unicode input, so byte-folding checksums
-    * (Multimodal.FakeDecoder) verify cross-engine beyond ASCII.
+    * (Multimodal.ByteStatsDecoder) verify cross-engine beyond ASCII.
     */
   def utf8Bytes(e: String): String =
     s"list_transform(range(0, octet_length(encode($e))), i -> " +

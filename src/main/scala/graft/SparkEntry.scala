@@ -742,6 +742,22 @@ object SparkEntry {
           "bm25_q3" -> Seq("stream", "shuffle", "partition", "sort")))
         .select(col("doc_id"), col("n_tokens"),
           col("bm25_q1"), col("bm25_q2"), col("bm25_q3"))
+    }),
+
+    "q64_bmp_decode" -> ((s, dir) => {
+      // REAL image decode end-to-end: text bytes → genuine 8×8 24-bpp BMP
+      // binaries (headers, stride, bottom-up rows) → from-scratch decoder →
+      // per-channel pixel means; the oracle recomputes the stats from the
+      // generative pixel formula, so any header/stride/offset bug in the
+      // decoder breaks the hash
+      import graft.multimodal.Multimodal
+      val assets = Multimodal.bmpAssetsFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeBmpStats(assets).toDF().select(
+        col("asset_id"), col("width"), col("height"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_r"), 6).as("mean_r"))
     })
   )
 
@@ -1770,6 +1786,28 @@ object SparkEntry {
          |FROM p, a""".stripMargin
     },
 
+    "q64_bmp_decode" -> {
+      // the generative-formula twin of the BMP round trip: pixel byte k of
+      // the 8×8 BGR stream is text-byte (k mod n) (0 for empty text);
+      // channel c mean = (Σ over k ≡ c mod 3) / 64 — matches the decoder's
+      // exact integer sums over the parsed pixel rows (row order cancels
+      // in the sums, so bottom-up storage needs no mirroring here)
+      val bytes = OracleSqlGen.utf8Bytes("text")
+      def ch(c: Int): String =
+        s"round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(list_filter(range(0, 192), k -> k % 3 = $c), " +
+          s"k -> CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE b[(k % n) + 1] END)), " +
+          s"(a, x) -> a + x) AS DOUBLE) / 64.0, 6)"
+      s"""WITH p AS (SELECT doc_id, $bytes AS b FROM documents),
+         |q AS (SELECT doc_id, b, len(b) AS n FROM p)
+         |SELECT doc_id AS asset_id,
+         |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+         |  ${ch(0)} AS mean_b,
+         |  ${ch(1)} AS mean_g,
+         |  ${ch(2)} AS mean_r
+         |FROM q""".stripMargin
+    },
+
     "q60_unigram_lm" -> {
       // per-token log-probs quantized to integer micro-units and integer-
       // summed (associative, exact, order-FREE) — the same arithmetic as
@@ -1865,7 +1903,7 @@ object SparkEntry {
 
     "q35_multimodal" -> {
       // folds the UTF-8 BYTES (not code points) — exactly what the Spark-side
-      // FakeDecoder does over the binary payload, valid beyond ASCII
+      // ByteStatsDecoder does over the binary payload, valid beyond ASCII
       val bytes = OracleSqlGen.utf8Bytes("text")
       val nb = "octet_length(encode(text))"
       def f(j: Int) =

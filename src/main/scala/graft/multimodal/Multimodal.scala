@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-batched typed pipelines.
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * container): [[FakeDecoder]] is a clearly-marked deterministic stand-in
-  * that consumes real bytes and emits a fixed-shape feature vector, so the
-  * Spark-side plumbing — schema, binary handling, partition batching,
-  * output shape — is real and tested; swap `decode` for a JNI/lib call in
-  * production.
+  * IMAGE decode is REAL: [[Bmp]] is a from-scratch 24-bpp BMP codec —
+  * [[decodeBmpStats]] parses actual headers/strides/bottom-up rows and
+  * computes pixel statistics from the decoded bytes (oracle-verified
+  * end-to-end). Audio/video remain a byte-statistics stand-in
+  * ([[ByteStatsDecoder]], no codec libraries exist in this container):
+  * the partition-batched plumbing — schema, binary handling, batch shape,
+  * null policy — is identical to what a JNI/lib decoder would slot into.
   */
 object Multimodal {
 
@@ -34,14 +35,16 @@ object Multimodal {
       asset_id: Long, media_type: String, n_bytes: Long,
       checksum: Long, feature: Array[Double])
 
-  /** STUB decoder: deterministic feature extraction from raw bytes.
-    * Replace `decode` with the real library call; everything around it
-    * (batching, schema, null policy) stays.
+  /** Byte-statistics decoder for the modalities WITHOUT a from-scratch
+    * codec here (audio/video): deterministic feature extraction from raw
+    * bytes. Replace `decode` with the real library call; everything around
+    * it (batching, schema, null policy) stays. Image assets have the real
+    * path: [[Bmp.decode]] via [[decodeBmpStats]].
     */
-  object FakeDecoder {
+  object ByteStatsDecoder {
     val featureDim = 8
     def decode(payload: Array[Byte]): Array[Double] = {
-      // ??? real decode goes here; deterministic fake: byte histogram moments
+      // codec-library call would go here; until then: byte histogram moments
       val f = new Array[Double](featureDim)
       if (payload != null) {
         var i = 0
@@ -78,8 +81,8 @@ object Multimodal {
         AssetFeature(
           a.asset_id, a.media_type,
           if (a.payload == null) 0L else a.payload.length.toLong,
-          FakeDecoder.checksum(a.payload),
-          FakeDecoder.decode(a.payload))
+          ByteStatsDecoder.checksum(a.payload),
+          ByteStatsDecoder.decode(a.payload))
       }
     }
   }
@@ -105,4 +108,44 @@ object Multimodal {
       lit(null).cast("int").as("width"),
       lit(null).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
+
+  /** Deterministic REAL-format image fixtures: each row's text bytes become
+    * the BGR pixel stream of a width×height 24-bpp BMP (bytes cycled to
+    * fill the image; empty text → black frame), encoded through the real
+    * [[Bmp.encode]] — so the payload column holds genuine on-disk BMP
+    * bytes with headers, stride and bottom-up rows.
+    */
+  def bmpAssetsFromText(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, height: Int = 8): Dataset[Asset] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+        val n = tb.length
+        val bgr = Array.tabulate[Byte](width * height * 3)(k =>
+          if (n == 0) 0 else tb(k % n))
+        Asset(id, "image", Bmp.encode(width, height, bgr),
+          Some(width), Some(height), None)
+      }
+  }
+
+  final case class BmpStats(
+      asset_id: Long, width: Int, height: Int,
+      mean_b: Double, mean_g: Double, mean_r: Double)
+
+  /** REAL image decode in the partition-batched shape: parse each asset's
+    * BMP (headers, declared data offset, stride, bottom-up rows) and emit
+    * per-channel pixel means from the decoder's exact integer sums.
+    */
+  def decodeBmpStats(assets: Dataset[Asset]): Dataset[BmpStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val d = Bmp.decode(a.payload)
+        val n = d.nPix.toDouble
+        BmpStats(a.asset_id, d.width, d.height,
+          d.sumB.toDouble / n, d.sumG.toDouble / n, d.sumR.toDouble / n)
+      }
+    }
+  }
 }

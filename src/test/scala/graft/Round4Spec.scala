@@ -52,6 +52,45 @@ class Round4Spec extends GraftSuite {
       "bm25Batch must score all queries in one corpus scan")
   }
 
+  test("Bmp codec: encode/decode round trip incl. stride padding; strict header checks") {
+    import graft.multimodal.Bmp
+    // w=5 -> raw row 15 bytes, stride 16: the padding byte must be skipped
+    val w = 5; val h = 3
+    val bgr = Array.tabulate[Byte](w * h * 3)(i => ((i * 7 + 3) % 251).toByte)
+    val enc = Bmp.encode(w, h, bgr)
+    assert(enc.length == 54 + Bmp.rowStride(w) * h)
+    val d = Bmp.decode(enc)
+    assert(d.width == w && d.height == h)
+    def sums(ch: Int) = bgr.indices.filter(_ % 3 == ch)
+      .map(i => (bgr(i) & 0xff).toLong).sum
+    assert((d.sumB, d.sumG, d.sumR) == ((sums(0), sums(1), sums(2))))
+    // corrupted magic / depth / compression are rejected, not mis-decoded
+    val badMagic = enc.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Bmp.decode(badMagic))
+    val bad16 = enc.clone(); bad16(28) = 16
+    intercept[IllegalArgumentException](Bmp.decode(bad16))
+    val rle = enc.clone(); rle(30) = 1
+    intercept[IllegalArgumentException](Bmp.decode(rle))
+    intercept[IllegalArgumentException](Bmp.decode(enc.take(40)))
+  }
+
+  test("bmp pipeline: real binaries through the typed batch decode") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.decodeBmpStats(
+      Multimodal.bmpAssetsFromText(docs, "doc_id", "text"))
+      .collect().map(s => s.asset_id -> s).toMap
+    assert(out(1L).width == 8 && out(1L).height == 8)
+    // empty text -> black frame
+    assert(out(2L).mean_b == 0.0 && out(2L).mean_g == 0.0 && out(2L).mean_r == 0.0)
+    // doc 1: replay the generative formula
+    val tb = "hello world".getBytes("UTF-8")
+    def mean(c: Int) = (0 until 192).filter(_ % 3 == c)
+      .map(k => (tb(k % tb.length) & 0xff).toLong).sum.toDouble / 64.0
+    assert(out(1L).mean_b == mean(0) && out(1L).mean_g == mean(1) &&
+      out(1L).mean_r == mean(2))
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

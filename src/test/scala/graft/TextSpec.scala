@@ -108,14 +108,14 @@ class TextSpec extends GraftSuite {
     assert(q.getDouble(1) > 0.0 && q.getDouble(1) <= 1.0)
   }
 
-  test("multimodal stub pipeline: typed batch extract over binary payloads") {
+  test("multimodal byte-stats pipeline: typed batch extract over binary payloads") {
     val assets = Multimodal
       .assetsFromText(docs, "doc_id", "text").as[Multimodal.Asset]
     val feats = Multimodal.extractFeatures(assets).collect()
     assert(feats.length == 5)
     val f1 = feats.find(_.asset_id == 1L).get
     assert(f1.n_bytes == "the quick brown fox jumps over the lazy dog".length)
-    assert(f1.feature.length == Multimodal.FakeDecoder.featureDim)
+    assert(f1.feature.length == Multimodal.ByteStatsDecoder.featureDim)
     assert(approx(f1.feature.sum, 1.0)) // normalized histogram
     // identical payloads -> identical checksum/features
     val f2 = feats.find(_.asset_id == 2L).get
