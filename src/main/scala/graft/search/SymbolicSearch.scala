@@ -63,9 +63,13 @@ object SymbolicSearch {
   final case class Individual(expr: FeatureExpr, score: Double, fit: Scoring.Fit)
 
   /** Per-generation statistics — the reference's `Statis_func` logbook
-    * (gp.py:548-594).
+    * (gp.py:548-594) plus engine instrumentation: wall millis, how many
+    * eligible candidates the generation scored, and how many of those were
+    * NOVEL renders that had to be compiled (the rest were render-memo
+    * hits — the plan-cache economics of a production-size run).
     */
-  final case class GenStats(gen: Int, best: Double, mean: Double, nValid: Int)
+  final case class GenStats(gen: Int, best: Double, mean: Double, nValid: Int,
+      millis: Long = 0L, candidates: Int = 0, compiledNovel: Int = 0)
 
   final case class Result(hall: Seq[Individual], generations: Int,
       logbook: Seq[GenStats] = Nil,
@@ -302,6 +306,7 @@ object SymbolicSearch {
       val memo = scala.collection.mutable.HashMap.empty[String, Scoring.Fit]
       while (gen < cfg.nGen && !stop) {
         gen += 1
+        val genT0 = System.nanoTime()
         // dim typecheck prunes before any Spark work
         val typed = pop.map { e =>
           val d = Compiler.dimOf(e, curReg)
@@ -335,7 +340,10 @@ object SymbolicSearch {
         val valid = scored.filter(_.score > Scoring.worst)
         logbook += GenStats(gen, scored.map(_.score).max,
           if (valid.nonEmpty) valid.map(_.score).sum / valid.size else Scoring.worst,
-          valid.size)
+          valid.size,
+          millis = (System.nanoTime() - genT0) / 1000000L,
+          candidates = typed.count(_._2),
+          compiledNovel = compiled.size)
         if (hall.head.score >= cfg.stopAt) stop = true
         // premap online update from elites (flow.py:331-333)
         premap.foreach { pm =>

@@ -91,6 +91,35 @@ class Round4Spec extends GraftSuite {
       out(1L).mean_r == mean(2))
   }
 
+  test("GP render memo bounds compiled candidates; instrumentation is consistent") {
+    import graft.expr._
+    import graft.search.SymbolicSearch
+    val d = spark.range(0, 500).toDF("id")
+      .withColumn("x0", pmod(col("id") * 1103515245L + 12345L, lit(1048576L))
+        .cast("double") / 1048576.0)
+      .withColumn("x1", pmod(col("id") * 69069L + 1L, lit(1048576L))
+        .cast("double") / 1048576.0)
+      .withColumn("y", col("x0") * col("x0") + lit(5.0) * col("x1"))
+    val reg = Registry(terminals = Map(
+      "x0" -> (col("x0"), Dim.dless), "x1" -> (col("x1"), Dim.dless)))
+    val res = SymbolicSearch.fit(d, reg, col("y"),
+      SymbolicSearch.Config(popSize = 40, nGen = 5, maxHeight = 3, plateau = 99))
+    val lb = res.logbook
+    assert(lb.nonEmpty && lb.forall(g => g.compiledNovel <= g.candidates),
+      "cannot compile more than the eligible candidates")
+    assert(lb.forall(_.candidates <= 40))
+    val novel = lb.map(_.compiledNovel).sum
+    val cands = lb.map(_.candidates).sum
+    assert(novel < cands,
+      s"memo must absorb repeated renders: compiled $novel of $cands scored")
+    assert(lb.forall(_.millis >= 0))
+    // memoized scoring stays deterministic: same seed, same hall
+    val res2 = SymbolicSearch.fit(d, reg, col("y"),
+      SymbolicSearch.Config(popSize = 40, nGen = 5, maxHeight = 3, plateau = 99))
+    assert(res.best.expr.render == res2.best.expr.render &&
+      res.best.score == res2.best.score)
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
