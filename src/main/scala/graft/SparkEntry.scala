@@ -758,6 +758,51 @@ object SparkEntry {
         round(col("mean_b"), 6).as("mean_b"),
         round(col("mean_g"), 6).as("mean_g"),
         round(col("mean_r"), 6).as("mean_r"))
+    }),
+
+    "q65_line_dedup" -> ((s, dir) => {
+      // C4/RefinedWeb line-level boilerplate rule. The synthetic docs are
+      // single-line, so multi-line structure is built deterministically:
+      // token stream chunked into 8-token lines, classic boilerplate
+      // injected (header on every 3rd doc, footer on every 4th); the rule
+      // then strips every line appearing in >= 5 distinct docs
+      val p = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), graft.text.TextHash.tokens(col("text")).as("tk"))
+        .withColumn("nl",
+          ceil(size(col("tk")).cast("double") / 8.0).cast("long"))
+      val bodyLines = transform(
+        sequence(lit(0L), greatest(col("nl") - 1, lit(0L))),
+        i => array_join(slice(col("tk"), (i * 8 + 1).cast("int"), lit(8)), " "))
+      val header = when(pmod(col("doc_id"), lit(3L)) === 0,
+        array(lit("subscribe to our newsletter for updates")))
+        .otherwise(array().cast("array<string>"))
+      val footer = when(pmod(col("doc_id"), lit(4L)) === 0,
+        array(lit("copyright footer all rights reserved")))
+        .otherwise(array().cast("array<string>"))
+      val docs2 = p.select(col("doc_id"),
+        concat_ws("\n", concat(header, bodyLines, footer)).as("text2"))
+      graft.text.Dedup.lineDedup(docs2, "doc_id", "text2", minDocFreq = 5L)
+    }),
+
+    "q66_char_entropy" -> ((s, dir) => {
+      // bits/char Shannon entropy quality gate — pure per-row expression
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        round(graft.text.TextQuality.charEntropy(col("text")), 6).as("entropy"))
+    }),
+
+    "q67_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style embedding dedup: IVF-bucketed cosine pairs →
+      // clusters → min-id keep-list. Near-dup siblings are planted for
+      // every 10th vector (1.01× scaled copy — cos ≈ 1) since the
+      // synthetic embeddings have no natural near-dups (max cos 0.48)
+      val e = Tables.load(s, dir, "embeddings")
+      val orig = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      val sib = e.where(pmod(col("vec_id"), lit(10L)) === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * 1.01).as("emb"))
+      graft.text.Dedup.semanticDedup(orig.unionByName(sib), "vec_id", "emb",
+        nClusters = 32, threshold = 0.999)
     })
   )
 
@@ -1806,6 +1851,112 @@ object SparkEntry {
          |  ${ch(1)} AS mean_g,
          |  ${ch(2)} AS mean_r
          |FROM q""".stripMargin
+    },
+
+    "q65_line_dedup" -> {
+      // same deterministic multi-line synthesis (8-token lines + injected
+      // header/footer boilerplate), then the C4-style strip of lines in
+      // >= 5 distinct docs and position-ordered reassembly
+      val tkExpr = OracleSqlGen.toks("text")
+      s"""WITH p AS (
+         |  SELECT doc_id, tk, CAST(ceil(len(tk)/8.0) AS BIGINT) AS nl
+         |  FROM (SELECT doc_id, $tkExpr AS tk FROM documents)
+         |), m AS (
+         |  SELECT doc_id, list_concat(list_concat(
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ['subscribe to our newsletter for updates']
+         |         ELSE [] END,
+         |    list_transform(range(0, greatest(nl, 1)),
+         |      i -> array_to_string(tk[i*8+1:i*8+8], ' '))),
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN ['copyright footer all rights reserved']
+         |         ELSE [] END) AS ls
+         |  FROM p
+         |), l AS (
+         |  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+         |      i -> {'pos': i, 'line': ls[i]})) AS u
+         |    FROM m)
+         |), f AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS c FROM l GROUP BY line)
+         |  WHERE c >= 5
+         |), k AS (
+         |  SELECT l.doc_id, l.pos, l.line FROM l
+         |  LEFT JOIN f ON l.line = f.line WHERE f.line IS NULL
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+         |  FROM k GROUP BY doc_id
+         |)
+         |SELECT m.doc_id, CAST(len(m.ls) AS BIGINT) AS n_lines,
+         |  coalesce(agg.n_kept, 0) AS n_kept,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM m LEFT JOIN agg ON m.doc_id = agg.doc_id""".stripMargin
+    },
+
+    "q66_char_entropy" -> {
+      // same sorted-distinct fold: the summation order over characters is
+      // pinned by the sort, log2 spelled as ln/ln2 with a shared literal
+      val p = "(CAST(len(list_filter(cs, c -> c = ch)) AS DOUBLE) / n)"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(text) + 1), i -> substr(text, i, 1)) AS cs,
+         |    CAST(len(text) AS DOUBLE) AS n
+         |  FROM documents
+         |), d AS (
+         |  SELECT doc_id, cs, n, list_sort(list_distinct(cs)) AS ds FROM p
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE
+         |    round(list_reduce(list_prepend(0.0,
+         |      list_transform(ds, ch -> -($p * ln($p)))),
+         |      (a, x) -> a + x) / 0.6931471805599453, 6)
+         |  END AS entropy
+         |FROM d""".stripMargin
+    },
+
+    "q67_semantic_dedup" -> {
+      // SemDeDup twin: same LCG-sampled coarse centroids (q52 pattern,
+      // nList=32 — exercising the NATIVE NearestCentroids path on the
+      // Spark side), argmax-cosine assignment (tie -> smaller li),
+      // within-list pairs at round-6 cosine >= 0.999, recursive-CTE
+      // transitive closure, min-id keepers
+      val cosEC = OracleSqlGen.cosine("e.v", "c.v")
+      val cosAB = OracleSqlGen.cosine("a.v", "b.v")
+      val draw = "((vec_id % 2147483647) * 1103515245 + 12345) % 2147483648"
+      s"""WITH RECURSIVE
+         |e0 AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |sib AS (SELECT vec_id + 1000000000 AS vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM sib),
+         |ctr AS (
+         |  SELECT row_number() OVER (ORDER BY $draw, vec_id) - 1 AS li, v
+         |  FROM e QUALIFY li <= 31
+         |),
+         |assign AS (
+         |  SELECT cid, li, v FROM (
+         |    SELECT e.vec_id AS cid, c.li, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.li ASC) AS rn
+         |    FROM e, ctr c) WHERE rn = 1
+         |),
+         |pairs AS (
+         |  SELECT a.cid AS pa, b.cid AS pb
+         |  FROM assign a JOIN assign b ON a.li = b.li AND a.cid < b.cid
+         |  WHERE round($cosAB, 6) >= 0.999
+         |), edges AS (
+         |  SELECT pa AS a, pb AS b FROM pairs
+         |  UNION SELECT pb, pa FROM pairs
+         |), reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id
+         |), cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+         |SELECT vec_id FROM e
+         |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> c)""".stripMargin
     },
 
     "q60_unigram_lm" -> {

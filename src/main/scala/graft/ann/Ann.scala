@@ -222,6 +222,14 @@ object Ann {
     else
       graft.functions.NearestCentroids(qv, centroids, nProbe, tieLargerIdx = true)
 
+  /** Public nearest-centroid assignment over a (cid, vec) frame — the
+    * bucketing step consumers like [[graft.text.Dedup.semanticDedup]]
+    * compose with; returns (cid, cv, __list).
+    */
+  def assign(corpus: DataFrame, model: IvfModel): DataFrame =
+    assignCentroid(
+      corpus.select(col("cid"), toDouble(col("vec")).as("cv")), model.centroids)
+
   /** IVF top-k: corpus rows are bucketed by nearest centroid (the inverted
     * lists); each query probes only its `nProbe` nearest lists and reranks
     * exactly inside them. Candidate fan-out is |corpus|·nProbe/nList — the

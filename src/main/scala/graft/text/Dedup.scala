@@ -584,6 +584,87 @@ object Dedup {
       .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
         col("jaccard"))
 
+  /** LINE-level dedup — the C4/RefinedWeb boilerplate rule: a line that
+    * occurs in ≥ `minDocFreq` distinct documents (headers, footers,
+    * cookie banners, navigation) is removed from EVERY document; document
+    * text is reassembled from the surviving lines in original order.
+    *
+    * Scale shape: explode lines once; the line-frequency table is one
+    * (line → distinct-doc count) aggregation, shuffled on the line text
+    * (AQE splits the boilerplate skew); surviving (doc, pos, line) rows
+    * re-aggregate per doc. Reassembly inherently holds one document per
+    * group — the output IS the document — so group memory is O(doc), same
+    * as the input row. Shuffles carry lines and id-pairs, never quadratic
+    * combinations.
+    *
+    * Returns (id, n_lines, n_kept, clean_text); a fully-boilerplate doc
+    * keeps an empty string.
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocFreq: Long
+  ): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.select(col("id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+    val boiler = freq.where(col("__df") >= minDocFreq).select(col("line"))
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val reassembled = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** SEMANTIC dedup (SemDeDup-style): documents whose EMBEDDINGS are
+    * near-identical (cosine ≥ threshold) are clustered and only each
+    * cluster's smallest id survives — catches paraphrases and re-renders
+    * that no lexical dedup sees.
+    *
+    * Scale shape: the corpus is bucketed by nearest coarse centroid (the
+    * deterministic IVF quantizer — [[graft.ann.Ann.ivfTrain]]; scale-safe
+    * assignment at any nList via the NearestCentroids kernel), pairwise
+    * cosine runs only WITHIN a bucket — the SemDeDup recipe: choose
+    * `nClusters` so |corpus|/nClusters bucket slices keep the quadratic
+    * step executor-sized — and the pair graph closes through
+    * [[resolveClusters]]. Cosines compare at 6-decimal quantization so an
+    * engine's last-ulp noise cannot flip a threshold decision.
+    * Returns the kept ids (one `idCol` column).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double = 0.95,
+      iterations: Int = 0
+  ): DataFrame = {
+    import graft.ann.Ann
+    val corpus = df.select(col(idCol).as("cid"), col(vecCol).as("vec"))
+    val model = Ann.ivfTrain(corpus, nClusters, iterations)
+    val assigned = materialize(Ann.assign(corpus, model))
+    val a = assigned.select(col("__list"), col("cid").as("id_a"), col("cv").as("v_a"))
+    val b = assigned.select(col("__list"), col("cid").as("id_b"), col("cv").as("v_b"))
+    val pairs = a.join(b, Seq("__list"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Ann.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+    val clusters = resolveClusters(pairs)
+    df.select(col(idCol))
+      .join(clusters.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs within LSH sign-buckets (see Ann). */
   def embeddingPairs(
       df: DataFrame,

@@ -92,6 +92,29 @@ object TextQuality {
       lit(1.0) - size(array_distinct(grams)).cast("double") / cnt.cast("double"))
   }
 
+  /** Character-level Shannon entropy in bits/char — the bits-per-byte-style
+    * quality gate (gibberish and repeated-char spam score low; natural text
+    * sits ~3.5-4.5 bits/char): H = −Σ_c p_c·log₂ p_c over the doc's own
+    * codepoints.
+    *
+    * Pure per-row expression, no explode/shuffle. Cross-engine determinism:
+    * the distinct characters are SORTED before the entropy fold, so the
+    * double summation order is identical in any engine; log₂ is spelled as
+    * ln(p)/ln2 with ln2 a shared literal. Empty text → 0.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = transform(sequence(lit(1), length(text)),
+      i => text.substr(i, lit(1)))
+    val distinctSorted = array_sort(array_distinct(chars))
+    val n = length(text).cast("double")
+    val ln2 = lit(0.6931471805599453) // shared literal: JVM vs libm ln(2)
+    val h = aggregate(distinctSorted, lit(0.0), (acc, d) => {
+      val p = size(filter(chars, c => c === d)).cast("double") / n
+      acc - p * log(p)
+    }) / ln2
+    when(length(text) === 0, lit(0.0)).otherwise(h)
+  }
+
   /** Composite quality score in [0,1]: weighted blend mirroring the usual
     * length/stopword/repetition gates.
     */

@@ -120,6 +120,65 @@ class Round4Spec extends GraftSuite {
       res.best.score == res2.best.score)
   }
 
+  test("lineDedup: boilerplate lines stripped, order preserved, full-boilerplate doc empties") {
+    import graft.text.Dedup
+    val docs = (1L to 6L).map(i => (i, s"unique line $i\nSHARED BOILERPLATE\nalso unique $i"))
+      .toDF("id", "text") // boilerplate in 6 docs
+      .unionByName(Seq((7L, "SHARED BOILERPLATE")).toDF("id", "text"))
+    val out = Dedup.lineDedup(docs, "id", "text", minDocFreq = 5L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    (1L to 6L).foreach { i =>
+      assert(out(i) == ((3L, 2L, s"unique line $i\nalso unique $i")),
+        s"doc $i: ${out(i)}")
+    }
+    assert(out(7L) == ((1L, 0L, "")), "fully-boilerplate doc keeps empty text")
+    // below the frequency bar nothing is removed
+    val none = Dedup.lineDedup(docs, "id", "text", minDocFreq = 8L)
+    assert(none.where(col("n_kept") =!= col("n_lines")).count() == 0)
+  }
+
+  test("charEntropy: hand values, order-invariance, degenerate cases") {
+    import graft.text.TextQuality
+    val df = Seq((1L, "aab"), (2L, "aba"), (3L, "aaaa"), (4L, ""), (5L, "abcd"))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+      round(TextQuality.charEntropy(col("t")), 9).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // H("aab") = -(2/3 log2 2/3 + 1/3 log2 1/3) = 0.9182958341
+    assert(math.abs(got(1L) - 0.918295834) < 1e-8)
+    assert(got(1L) == got(2L), "entropy is order-invariant")
+    assert(got(3L) == 0.0, "single-symbol text has zero entropy")
+    assert(got(4L) == 0.0, "empty text scores 0")
+    assert(math.abs(got(5L) - 2.0) < 1e-9, "4 equiprobable symbols = 2 bits")
+  }
+
+  test("semanticDedup: planted near-identical embeddings collapse to min id") {
+    import graft.text.Dedup
+    // 60 deterministic zero-mean vectors (signed LCG mix — all-positive
+    // vectors would be mutually near-parallel) + scaled copies of the
+    // first 6
+    val base = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map { j =>
+        // mixed hash of the combined index — an affine form in (i, j)
+        // would make every vector a translate of one sawtooth (all
+        // mutually near-parallel)
+        val h = graft.functions.SimHashParts.mix32(i.toLong * 1009L + j)
+        ((h % 1001L) - 500L).toDouble / 500.0
+      }.toSeq)
+    }
+    val sibs = base.take(6).map { case (id, v) =>
+      (id + 1000L, v.map(_ * 1.01))
+    }
+    val df = (base ++ sibs).toDF("vid", "emb")
+    val kept = Dedup.semanticDedup(df, "vid", "emb",
+      nClusters = 4, threshold = 0.999)
+      .as[Long].collect().toSet
+    assert(kept == (0 until 60).map(_.toLong).toSet,
+      s"every scaled copy must collapse onto its original; kept=$kept")
+    graft.text.Dedup.releaseCache()
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
