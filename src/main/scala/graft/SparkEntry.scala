@@ -803,6 +803,21 @@ object SparkEntry {
           transform(col("embedding"), x => x.cast("double") * 1.01).as("emb"))
       graft.text.Dedup.semanticDedup(orig.unionByName(sib), "vec_id", "emb",
         nClusters = 32, threshold = 0.999)
+    }),
+
+    "q68_curation" -> ((s, dir) => {
+      // the pipeline-level facade: all content gates in one projection +
+      // one digest window, per-gate audit booleans, split for survivors.
+      // Thresholds chosen so each gate discriminates on the synthetic
+      // corpus (entropy p10 = 4.0, token p20 = 29, lang mix 5 ways)
+      import graft.text.Curation
+      Curation.curate(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang",
+        Curation.Gates(minTokens = 25, maxTokens = 5000,
+          dupN = 2, maxDupFraction = 0.05, minEntropy = 4.0,
+          langs = Set("en", "zh", "de")))
+        .select(col("doc_id"), col("g_len"), col("g_rep"), col("g_ent"),
+          col("g_lang"), col("g_uniq"), col("keep"), col("split"))
     })
   )
 
@@ -1957,6 +1972,51 @@ object SparkEntry {
          |), cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
          |SELECT vec_id FROM e
          |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> c)""".stripMargin
+    },
+
+    "q68_curation" -> {
+      // every gate re-spelled with the exact metric op order (raw doubles,
+      // no rounding — both engines produce the same bits) plus the q61
+      // split hash for survivors
+      val tkExpr = OracleSqlGen.toks("lower(text)")
+      val dup2 = {
+        val cnt = "(len(tk) - 1)"
+        val grams = s"list_transform(range(1, greatest($cnt, 1) + 1), " +
+          s"i -> array_to_string(tk[i:i+1], chr(1)))"
+        s"CASE WHEN $cnt <= 0 THEN 0.0 ELSE 1.0 - " +
+          s"CAST(len(list_distinct($grams)) AS DOUBLE) / CAST($cnt AS DOUBLE) END"
+      }
+      val p = "(CAST(len(list_filter(cs, c -> c = ch)) AS DOUBLE) / n)"
+      val entropy = s"CASE WHEN n = 0 THEN 0.0 ELSE " +
+        s"list_reduce(list_prepend(0.0, list_transform(ds, ch -> -($p * ln($p)))), " +
+        s"(a, x) -> a + x) / 0.6931471805599453 END"
+      val splitHash = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':split1')")
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, text, $tkExpr AS tk,
+         |    list_transform(range(1, len(text) + 1), i -> substr(text, i, 1)) AS cs,
+         |    CAST(len(text) AS DOUBLE) AS n
+         |  FROM documents
+         |), d AS (
+         |  SELECT *, list_sort(list_distinct(cs)) AS ds,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM m
+         |), gates AS (
+         |  SELECT doc_id,
+         |    (len(tk) >= 25 AND len(tk) <= 5000) AS g_len,
+         |    ($dup2) < 0.05 AS g_rep,
+         |    ($entropy) >= 4.0 AS g_ent,
+         |    lang IN ('de', 'en', 'zh') AS g_lang,
+         |    doc_id = keeper AS g_uniq
+         |  FROM d
+         |)
+         |SELECT doc_id, g_len, g_rep, g_ent, g_lang, g_uniq,
+         |  (g_len AND g_rep AND g_ent AND g_lang AND g_uniq) AS keep,
+         |  CASE WHEN (g_len AND g_rep AND g_ent AND g_lang AND g_uniq) THEN
+         |    CASE WHEN $splitHash % 1000 < 800 THEN 'train'
+         |         WHEN $splitHash % 1000 < 900 THEN 'val'
+         |         ELSE 'test' END
+         |  ELSE NULL END AS split
+         |FROM gates""".stripMargin
     },
 
     "q60_unigram_lm" -> {

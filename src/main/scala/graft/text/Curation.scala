@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation facade — the pipeline-level API a
+  * training-data user actually runs: one call applies the standard gate
+  * stack (length, repetition, character entropy, language set, exact-dup
+  * keeper) and assigns the deterministic train/val/test split to the
+  * survivors.
+  *
+  * Scale shape: every content gate is a PURE per-row expression in ONE
+  * projection (no explode, no join); the only shuffle in the whole
+  * operator is the digest window for the exact-dup keeper. Per-gate
+  * booleans are kept in the output — production pipelines audit WHY a
+  * document dropped, not just that it dropped — and `keep` is their
+  * conjunction. Near-dup/semantic dedup intentionally stay separate
+  * ([[Dedup.dedupDocs]], [[Dedup.semanticDedup]]): they are corpus-level
+  * joins a pipeline schedules as their own passes, composed via
+  * [[Dedup.dedupIncremental]]-style anti-joins on this gate output.
+  */
+object Curation {
+
+  /** Gate thresholds; defaults mirror common open-corpus filter configs. */
+  final case class Gates(
+      minTokens: Long = 5,
+      maxTokens: Long = 100000,
+      dupN: Int = 2,
+      maxDupFraction: Double = 0.3,
+      minEntropy: Double = 2.0,
+      langs: Set[String] = Set.empty, // empty = accept all languages
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Input plus g_len/g_rep/g_ent/g_lang/g_uniq booleans, `keep`, and
+    * `split` (null for dropped rows). Gate comparisons run on the RAW
+    * metric doubles — both engines compute them through the identical op
+    * sequence, so the compare is cross-engine stable without rounding.
+    */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      g: Gates = Gates()
+  ): DataFrame = {
+    val text = col(textCol)
+    val nt = size(TextHash.tokens(text)).cast("long")
+    val gLen = nt >= g.minTokens && nt <= g.maxTokens
+    val gRep = TextQuality.dupNgramFraction(text, g.dupN) < g.maxDupFraction
+    val gEnt = TextQuality.charEntropy(text) >= g.minEntropy
+    val gLang =
+      if (g.langs.isEmpty) lit(true)
+      else col(langCol).isin(g.langs.toSeq.sorted: _*)
+    val keeper = min(col(idCol)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(text)))
+    val keep = col("g_len") && col("g_rep") && col("g_ent") &&
+      col("g_lang") && col("g_uniq")
+    df.withColumn("g_len", gLen)
+      .withColumn("g_rep", gRep)
+      .withColumn("g_ent", gEnt)
+      .withColumn("g_lang", gLang)
+      .withColumn("g_uniq", col(idCol) === keeper)
+      .withColumn("keep", keep)
+      .withColumn("split",
+        when(keep, Sampling.assignSplit(col(idCol), g.splits))
+          .otherwise(lit(null).cast("string")))
+  }
+}

@@ -179,6 +179,37 @@ class Round4Spec extends GraftSuite {
     graft.text.Dedup.releaseCache()
   }
 
+  test("Curation.curate: each gate trips on its designed failure; survivors get a split") {
+    import graft.text.Curation
+    val good = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, good, "en"),                    // passes everything
+      (2L, "too short", "en"),             // g_len (min 5 tokens)
+      (3L, ("spam " * 40).trim, "en"),     // g_rep (all bigrams identical)
+      (4L, "aaaaa aaaaa aaaaa aaaaa aaaaa aaaaa", "en"), // g_ent (1.07 bits)
+      (5L, good + " extra", "fr"),         // g_lang
+      (6L, good, "en")                     // g_uniq (exact dup of 1, larger id)
+    ).toDF("id", "text", "lang")
+    val out = Curation.curate(docs, "id", "text", "lang",
+      Curation.Gates(minTokens = 5, maxTokens = 100, dupN = 2,
+        maxDupFraction = 0.5, minEntropy = 2.0, langs = Set("en", "de")))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    def gates(id: Long) = Seq("g_len", "g_rep", "g_ent", "g_lang", "g_uniq")
+      .map(c => out(id).getAs[Boolean](c))
+    assert(gates(1L).forall(identity) && out(1L).getAs[Boolean]("keep"))
+    assert(Set("train", "val", "test").contains(out(1L).getAs[String]("split")))
+    assert(!out(2L).getAs[Boolean]("g_len"))
+    assert(!out(3L).getAs[Boolean]("g_rep"))
+    assert(!out(4L).getAs[Boolean]("g_ent"))
+    assert(!out(5L).getAs[Boolean]("g_lang"))
+    assert(!out(6L).getAs[Boolean]("g_uniq"), "exact dup with larger id must lose")
+    assert(out(1L).getAs[Boolean]("g_uniq"), "the min-id copy is the keeper")
+    (2L to 6L).foreach { i =>
+      assert(!out(i).getAs[Boolean]("keep") && out(i).getAs[String]("split") == null,
+        s"doc $i must drop with null split")
+    }
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
