@@ -97,12 +97,20 @@ object TextQuality {
     * sits ~3.5-4.5 bits/char): H = −Σ_c p_c·log₂ p_c over the doc's own
     * codepoints.
     *
-    * Pure per-row expression, no explode/shuffle. Cross-engine determinism:
-    * the distinct characters are SORTED before the entropy fold, so the
-    * double summation order is identical in any engine; log₂ is spelled as
-    * ln(p)/ln2 with ln2 a shared literal. Empty text → 0.
+    * Native one-pass expression ([[graft.functions.CharEntropy]]) — the
+    * declarative fold below is quadratic (substr seeks + HOF lambda
+    * re-evaluation rebuilt the char array per distinct character; 115 s →
+    * sub-second for the sf0.1 bench query). Cross-engine determinism: the
+    * characters are visited in SORTED order, so the double summation
+    * order is identical in any engine; log₂ is spelled as ln(p)/ln2 with
+    * ln2 a shared literal. Empty text → 0.
     */
-  def charEntropy(text: Column): Column = {
+  def charEntropy(text: Column): Column = graft.functions.CharEntropy(text)
+
+  /** Declarative HOF twin of [[charEntropy]] — parity-spec reference only
+    * (quadratic per row: do not use in operators).
+    */
+  private[graft] def charEntropyDeclarative(text: Column): Column = {
     val chars = transform(sequence(lit(1), length(text)),
       i => text.substr(i, lit(1)))
     val distinctSorted = array_sort(array_distinct(chars))

@@ -138,6 +138,19 @@ class Round4Spec extends GraftSuite {
     assert(none.where(col("n_kept") =!= col("n_lines")).count() == 0)
   }
 
+  test("charEntropy native == declarative fold over the real corpus + unicode") {
+    import graft.text.TextQuality
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq("héllo wörld", "日本語テキスト", "ab\nc", "ab" * 500)
+        .toDF("text"))
+    val diff = docs.select(
+      TextQuality.charEntropy(col("text")).as("nat"),
+      TextQuality.charEntropyDeclarative(col("text")).as("decl"))
+      .where(col("nat") =!= col("decl")).count()
+    assert(diff == 0, "native entropy must be bit-identical to the fold")
+  }
+
   test("charEntropy: hand values, order-invariance, degenerate cases") {
     import graft.text.TextQuality
     val df = Seq((1L, "aab"), (2L, "aba"), (3L, "aaaa"), (4L, ""), (5L, "abcd"))
