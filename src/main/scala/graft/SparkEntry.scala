@@ -818,6 +818,21 @@ object SparkEntry {
           langs = Set("en", "zh", "de")))
         .select(col("doc_id"), col("g_len"), col("g_rep"), col("g_ent"),
           col("g_lang"), col("g_uniq"), col("keep"), col("split"))
+    }),
+
+    "q69_top_ngrams" -> ((s, dir) => {
+      // corpus vocabulary stats: top-10 bigrams per language — one explode,
+      // one partial-agg groupBy, rank window over the aggregate only
+      graft.text.Retrieval.topNgrams(Tables.load(s, dir, "documents"),
+        "text", "lang", n = 2, k = 10)
+    }),
+
+    "q70_bigram_lm" -> ((s, dir) => {
+      // order-aware perplexity proxy: add-one bigram LM with the corpus as
+      // its own model; integer micro-unit sums (order-free, exact)
+      graft.text.Retrieval.bigramLogProb(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_transitions"), col("avg_logp2"))
     })
   )
 
@@ -2017,6 +2032,58 @@ object SparkEntry {
          |         ELSE 'test' END
          |  ELSE NULL END AS split
          |FROM gates""".stripMargin
+    },
+
+    "q69_top_ngrams" -> {
+      val tkExpr = OracleSqlGen.toks("lower(text)")
+      s"""WITH p AS (
+         |  SELECT lang AS stratum, $tkExpr AS tk FROM documents
+         |), g AS (
+         |  SELECT stratum, unnest(list_transform(range(1, len(tk)),
+         |    i -> array_to_string(tk[i:i+1], chr(1)))) AS g
+         |  FROM p WHERE len(tk) >= 2
+         |), c AS (
+         |  SELECT stratum, g, CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM g GROUP BY stratum, g
+         |)
+         |SELECT stratum, replace(g, chr(1), ' ') AS gram, n_occurrences, rank
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY stratum ORDER BY n_occurrences DESC, g ASC) AS rank
+         |  FROM c)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    "q70_bigram_lm" -> {
+      val tkExpr = OracleSqlGen.toks("lower(text)")
+      s"""WITH p AS (
+         |  SELECT doc_id, $tkExpr AS tk FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> array_to_string(tk[i:i+1], chr(1)))) AS bg
+         |  FROM p WHERE len(tk) >= 2
+         |), bc AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg
+         |), un AS (
+         |  SELECT unnest(tk) AS tok FROM p
+         |), uc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM un GROUP BY tok
+         |), v AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uc
+         |), lp AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(cb + 1 AS DOUBLE)
+         |      / (CAST(cu AS DOUBLE) + vocab)) * 1000000.0 + 0.5) AS BIGINT) AS lpq
+         |  FROM bg JOIN bc USING (bg)
+         |  JOIN uc ON split_part(bg, chr(1), 1) = uc.tok, v
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |    round(CAST(CAST(sum(lpq) AS BIGINT) AS DOUBLE) / 1000000.0
+         |      / CAST(count(*) AS DOUBLE), 6) AS avg_logp2
+         |  FROM lp GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, agg.n_transitions, agg.avg_logp2
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
     },
 
     "q60_unigram_lm" -> {

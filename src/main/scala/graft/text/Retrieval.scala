@@ -90,6 +90,84 @@ object Retrieval {
     }
   }
 
+  /** Corpus n-gram vocabulary statistics: the top-k most frequent word
+    * n-grams per stratum (language/source) — the table a curation pipeline
+    * builds for tokenizer training, stop-gram lists and corpus drift
+    * monitoring.
+    *
+    * Scale shape: one explode of per-doc n-grams (built once per row via
+    * the hoisted-attribute zip_with form — no HOF re-evaluation), ONE
+    * partial-aggregated groupBy on (stratum, gram), then the rank window
+    * runs over the already-aggregated (stratum, gram, count) rows — tiny
+    * relative to the corpus. Ties break on the gram text so top-k is
+    * deterministic. Returns (stratum, gram, n_occurrences, rank) with the
+    * U+0001 joiner rendered back to a space.
+    */
+  def topNgrams(
+      df: DataFrame,
+      textCol: String,
+      stratumCol: String,
+      n: Int,
+      k: Int
+  ): DataFrame = {
+    val grams = df
+      .select(col(stratumCol).as("stratum"),
+        TextHash.lowerTokens(col(textCol)).as("__tk"))
+      .select(col("stratum"),
+        explode(graft.text.TextQuality.wordNgrams(col("__tk"), n)).as("__g"))
+    val counts = grams.groupBy(col("stratum"), col("__g"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("n_occurrences").desc, col("__g").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("stratum"),
+        regexp_replace(col("__g"), "\u0001", " ").as("gram"),
+        col("n_occurrences"), col("rank"))
+  }
+
+  /** Bigram-LM document scoring — the stronger perplexity proxy
+    * (word-order aware, unlike [[unigramLogProb]]): with the corpus as its
+    * own LM, avg over transitions of ln p(w_i | w_{i−1}),
+    * p(w|v) = (c(v,w)+1)/(c(v)+V) (add-one smoothing over the bigram
+    * table, V = unigram vocab size). Repetitive word-salad that fools
+    * unigram frequency scores low here.
+    *
+    * Same scale/determinism shape as [[unigramLogProb]]: one bigram
+    * groupBy + one unigram groupBy build the model; transitions join back
+    * on the bigram key; per-token log-probs quantize to integer
+    * micro-units and integer-sum (order-free, exact). Documents with < 2
+    * tokens score null.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val prepped = df.select(col(idCol).as("__id"),
+      TextHash.lowerTokens(col(textCol)).as("__tk"))
+    val bi = prepped.select(col("__id"),
+      explode(graft.text.TextQuality.wordNgrams(col("__tk"), 2)).as("__bg"))
+    val biCounts = bi.groupBy(col("__bg")).agg(count(lit(1)).as("__cb"))
+    val uni = prepped.select(explode(col("__tk")).as("__tok"))
+    val uniCounts = uni.groupBy(col("__tok")).agg(count(lit(1)).as("__cu"))
+    val vocab = uniCounts.count().toDouble
+    // context count = unigram count of the LEFT word; last-position tokens
+    // also count as context occurrences in c(v) — standard corpus counts
+    val scored = bi
+      .withColumn("__ctx", substring_index(col("__bg"), "\u0001", 1))
+      .join(biCounts, Seq("__bg"))
+      .join(uniCounts.withColumnRenamed("__tok", "__ctx"), Seq("__ctx"))
+      .withColumn("__lpq", floor(
+        log((col("__cb") + lit(1L)).cast("double") /
+          (col("__cu").cast("double") + lit(vocab))) * lit(1e6) + lit(0.5)))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("__lpq")).as("__sumq"))
+      .withColumn("avg_logp2", round(
+        col("__sumq").cast("double") / lit(1e6) /
+          col("n_transitions").cast("double"), 6))
+      .drop("__sumq")
+    df.select(col(idCol)).join(scored.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left")
+  }
+
   /** Unigram-LM document scoring — the CCNet-style perplexity-proxy
     * quality filter, with the corpus itself as the language model:
     * avg_logp(d) = (1/|d|) Σ_i ln p(w_i),  p(w) = (c(w)+1)/(T+V)

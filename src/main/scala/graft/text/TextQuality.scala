@@ -69,25 +69,32 @@ object TextQuality {
     )
   }
 
+  /** Word n-grams of a token ARRAY, joined on U+0001 so token boundaries
+    * can't alias ("a b","c" vs "a","b c") — built via iterated zip_with
+    * against shifted copies: every reference to the token array stays
+    * OUTSIDE lambda bodies (an expression referenced inside a higher-
+    * order-function lambda is re-evaluated PER ELEMENT — the original
+    * slice-in-transform formulation re-tokenized the text O(tokens) times
+    * per row, 6.7 s for the q58 bench vs 0.5 s). zip_with pads the shorter
+    * side with null and concat null-poisons, so the trailing partial grams
+    * drop in the filter. Pass an ATTRIBUTE (hoisted column) as `t` when
+    * composing further HOFs on top.
+    */
+  def wordNgrams(t: Column, n: Int): Column = {
+    val grams0 = (1 until n).foldLeft(t)((acc, k) =>
+      zip_with(acc, slice(t, lit(k + 1), size(t)), (x, y) =>
+        concat(x, lit("\u0001"), y)))
+    filter(grams0, x => x.isNotNull)
+  }
+
   /** Duplicate word-n-gram fraction (the Gopher/C4 repetition rule family):
     * 1 − distinct/total over the n-grams of the whitespace tokens; 0 when
-    * the doc has fewer than n tokens. n-grams join on U+0001 so token
-    * boundaries can't alias ("a b","c" vs "a","b c").
+    * the doc has fewer than n tokens.
     */
   def dupNgramFraction(text: Column, n: Int): Column = {
     val t = toks(text)
     val cnt = size(t) - (n - 1)
-    // n-grams via iterated zip_with against shifted copies: every reference
-    // to the token array stays OUTSIDE lambda bodies. An expression
-    // referenced inside a higher-order-function lambda is re-evaluated PER
-    // ELEMENT - the original slice-in-transform formulation re-tokenized
-    // the text O(tokens) times per row (6.7 s for the q58 bench vs 0.5 s).
-    // zip_with pads the shorter side with null and concat null-poisons, so
-    // the trailing partial grams drop in the filter.
-    val grams0 = (1 until n).foldLeft(t)((acc, k) =>
-      zip_with(acc, slice(t, lit(k + 1), size(t)), (x, y) =>
-        concat(x, lit("\u0001"), y)))
-    val grams = filter(grams0, x => x.isNotNull)
+    val grams = wordNgrams(t, n)
     when(cnt <= 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)).cast("double") / cnt.cast("double"))
   }

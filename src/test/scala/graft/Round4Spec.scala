@@ -223,6 +223,48 @@ class Round4Spec extends GraftSuite {
     }
   }
 
+  test("topNgrams: hand counts, deterministic ties, per-stratum k") {
+    import graft.text.Retrieval
+    val docs = Seq(
+      (1L, "a b a b c", "en"), // bigrams: "a b"(x2 via pos1,3? -> a b, b a, a b, b c)
+      (2L, "a b x", "en"),
+      (3L, "k l k l", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Retrieval.topNgrams(docs, "text", "lang", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val en = out.filter(_._1 == "en").sortBy(_._4)
+    // en bigram counts: "a b" -> 3 (docs 1 has 2, doc 2 has 1), "b a" -> 1,
+    // "b c" -> 1, "b x" -> 1; rank2 tie among count-1 grams -> "b a" (asc)
+    assert(en(0) == (("en", "a b", 3L, 1L)))
+    assert(en(1) == (("en", "b a", 1L, 2L)))
+    val de = out.filter(_._1 == "de").sortBy(_._4)
+    assert(de(0) == (("de", "k l", 2L, 1L)))
+    assert(de(1) == (("de", "l k", 1L, 2L)))
+  }
+
+  test("bigramLogProb: driver replay of the add-one bigram LM; short docs null") {
+    import graft.text.Retrieval
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"), (4L, ""))
+      .toDF("id", "text")
+    val out = Retrieval.bigramLogProb(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // corpus bigrams: d1: (a,b),(b,a),(a,b); d2: (b,a) => c(a,b)=2, c(b,a)=2
+    // unigrams: a->3, b->3, solo->1 => V=3
+    val v = 3.0
+    def lpq(cb: Long, cu: Long): Long =
+      math.floor(math.log((cb + 1L).toDouble / (cu.toDouble + v)) * 1e6 + 0.5).toLong
+    def avg(qs: Seq[Long]): Double =
+      BigDecimal(qs.sum.toDouble / 1e6 / qs.size.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1.contains(3L))
+    assert(out(1L)._2.contains(avg(Seq(lpq(2, 3), lpq(2, 3), lpq(2, 3)))))
+    assert(out(2L)._2.contains(avg(Seq(lpq(2, 3)))))
+    assert(out(3L)._1.isEmpty && out(4L)._1.isEmpty, "docs with <2 tokens score null")
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
