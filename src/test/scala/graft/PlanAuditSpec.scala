@@ -86,4 +86,27 @@ class PlanAuditSpec extends GraftSuite {
     assert(nodes <= 10,
       s"resolveClusters leaked lineage across rounds ($nodes logical nodes)")
   }
+
+  test("curation facade: one projection + the digest window only — no join, one exchange") {
+    val p = plan(SparkEntry.queries("q68_curation")(spark, sfSmall))
+    assert(!p.contains("Join"), s"curate must not join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"curate should shuffle once (the md5 keeper window), got $exchanges:\n$p")
+  }
+
+  test("line dedup: equi joins only, reassembly aggregates after the frequency pass") {
+    val p = plan(SparkEntry.queries("q65_line_dedup")(spark, sfSmall))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must stay equi-join shaped:\n$p")
+  }
+
+  test("top n-grams: rank window runs over the aggregated counts, not raw grams") {
+    val df = SparkEntry.queries("q69_top_ngrams")(spark, sfSmall)
+    val p = plan(df)
+    // partial aggregation before the shuffle proves the count groupBy is
+    // map-side combined; the window must sit above that aggregate
+    assert(p.contains("partial_count"), s"gram counts must partial-agg:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
 }
