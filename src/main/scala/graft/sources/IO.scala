@@ -64,3 +64,22 @@ final class Store(root: String) {
     p
   }
 }
+
+/** Bucketed-layout sink/reader — the CO-LOCATED JOIN lever at 100 TB: two
+  * tables bucketed the same way on the join key sort-merge-join with ZERO
+  * exchanges (no shuffle of either side, ever), which is how a petabyte
+  * fact table joins its history day after day without re-shuffling.
+  * Bucketed layouts need the session catalog (bucket metadata lives in the
+  * table descriptor, not the files), hence `saveAsTable` rather than a
+  * path write. `PlanAuditSpec` proves the zero-exchange property.
+  */
+object Bucketed {
+  def write(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
