@@ -47,15 +47,22 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dts = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch { case t: Throwable => System.err.println(s"[bench] $name: ${t.getMessage}") }
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] $name: ${t.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         // bound cache growth across the query loop (prep frames are scoped
         // to one query; releasing them is untimed bookkeeping)
         graft.text.Dedup.releaseCache()
-        dt
+        (dt, ok)
       }
-      name -> dts.min
+      // a failed repeat fails FAST — letting it win the min would record a
+      // fantasy time; only successful repeats count (all-failed: keep the
+      // wall time so the total still reflects the time spent, stderr has
+      // the errors)
+      val good = dts.filter(_._2)
+      name -> (if (good.nonEmpty) good.map(_._1).min else dts.map(_._1).min)
     }
 
     // flagship transcript pipeline (input synthesized once, reused);

@@ -2035,7 +2035,9 @@ object SparkEntry {
     },
 
     "q69_top_ngrams" -> {
-      val tkExpr = OracleSqlGen.toks("lower(text)")
+      // same U+0001-token exclusion as Retrieval.cleanTokens
+      val tkExpr =
+        s"list_filter(${OracleSqlGen.toks("lower(text)")}, t -> NOT contains(t, chr(1)))"
       s"""WITH p AS (
          |  SELECT lang AS stratum, $tkExpr AS tk FROM documents
          |), g AS (
@@ -2055,7 +2057,9 @@ object SparkEntry {
     },
 
     "q70_bigram_lm" -> {
-      val tkExpr = OracleSqlGen.toks("lower(text)")
+      // same U+0001-token exclusion as Retrieval.cleanTokens
+      val tkExpr =
+        s"list_filter(${OracleSqlGen.toks("lower(text)")}, t -> NOT contains(t, chr(1)))"
       s"""WITH p AS (
          |  SELECT doc_id, $tkExpr AS tk FROM documents
          |), bg AS (

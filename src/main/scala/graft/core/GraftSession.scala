@@ -98,16 +98,27 @@ object GraftSession {
         .foreach { cdUri =>
         val cd = new java.io.File(cdUri.getPath)
         val hb = new java.io.File(cd, ".graft-heartbeat")
-        def touch(): Unit =
+        // first touch may create the dir (setCheckpointDir just made it);
+        // periodic touches must NOT resurrect a dir another sweep removed
+        def touch(create: Boolean): Unit =
           try {
-            hb.getParentFile.mkdirs()
-            if (!hb.createNewFile()) hb.setLastModified(System.currentTimeMillis())
+            if (create) hb.getParentFile.mkdirs()
+            if (hb.getParentFile.exists() && !hb.createNewFile())
+              hb.setLastModified(System.currentTimeMillis())
           } catch { case _: java.io.IOException => () }
-        touch()
+        touch(create = true)
         val t = new java.util.Timer("graft-ckpt-heartbeat", true)
         t.scheduleAtFixedRate(new java.util.TimerTask {
-          override def run(): Unit = touch()
+          override def run(): Unit = touch(create = false)
         }, 5L * 60 * 1000, 5L * 60 * 1000)
+        // a stopped session must stop advertising liveness, or its dead
+        // checkpoint dir would never be swept and each session would leak
+        // a timer thread
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            t.cancel()
+        })
       }
     }
 }

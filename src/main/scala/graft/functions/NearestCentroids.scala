@@ -92,10 +92,16 @@ object NearestCentroids {
     var c = 0
     while (c < cents.length) {
       val ctr = cents(c)
+      // ragged input fails LOUDLY: the literal path null-poisons mismatched
+      // dims (assignment undefined), so a silently truncated dot here would
+      // give the same dataset different bucketings depending on which path
+      // nList selects
+      if (ctr.length != dim)
+        throw new IllegalArgumentException(
+          s"vector dim $dim != centroid dim ${ctr.length} (list $c)")
       var d = 0.0
       var j = 0
-      val jn = math.min(dim, ctr.length)
-      while (j < jn) { d += x(j) * ctr(j); j += 1 }
+      while (j < dim) { d += x(j) * ctr(j); j += 1 }
       val cos = d / (vnorm * norms(c))
       // insertion into the descending top-k
       if (n < kk || better(cos, c, bs(n - 1), bi(n - 1), tieLarger)) {

@@ -81,8 +81,17 @@ object Bmp {
     require(width > 0 && height > 0, s"unsupported dimensions ${width}x$height")
     require(bpp == 24, s"unsupported bit depth $bpp (24-bpp only)")
     require(compression == 0, s"unsupported compression $compression (BI_RGB only)")
+    // header fields are attacker-controlled 32-bit values: a negative
+    // dataOff or an overflowing width*3 would wrap the size check below
+    // and turn the clean reject contract into an executor-side crash or a
+    // wrong-offset read — bound everything in LONG arithmetic first
+    require(dataOff >= 54 && dataOff <= payload.length,
+      s"pixel-data offset $dataOff out of range")
+    require(width <= (1 << 20) && height <= (1 << 20),
+      s"implausible dimensions ${width}x$height")
     val stride = rowStride(width)
-    require(payload.length >= dataOff + stride * height, "truncated pixel data")
+    require(payload.length.toLong >= dataOff.toLong + stride.toLong * height,
+      "truncated pixel data")
     var sb = 0L; var sg = 0L; var sr = 0L
     var y = 0
     while (y < height) {

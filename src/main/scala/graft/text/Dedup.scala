@@ -29,16 +29,17 @@ object Dedup {
     * loop running 50+ queries) can bound cache growth with [[releaseCache]]
     * instead of waiting for the GC-driven ContextCleaner.
     */
-  private val cachedPreps =
-    scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
+  private val cachedPreps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private def materialize(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // WEAK reference: a library caller who never calls releaseCache() must
-    // not have cache blocks pinned forever — once the caller drops the
-    // returned frame, the GC-driven ContextCleaner reclaims the persisted
-    // RDD as it always could (a strong ref here would defeat it). Bench /
-    // Verify loops still get deterministic release via releaseCache().
-    cachedPreps += new java.lang.ref.WeakReference(p)
+    // STRONG references, deliberately: Dataset.persist registers the plan
+    // in the session CacheManager, which itself holds it strongly — a
+    // GC'd wrapper is NOT reclaimed by the ContextCleaner (that cleans
+    // RDD/broadcast/shuffle state, not SQL cache entries). A weak ref here
+    // would only make releaseCache() silently skip whatever the GC got to
+    // first, pinning those blocks for the JVM lifetime. Callers bound
+    // cache growth with [[releaseCache]] or the scoped [[withCache]].
+    cachedPreps += p
     p
   }
 
@@ -48,9 +49,17 @@ object Dedup {
     * their multiple scans, so the caller owns the release point.
     */
   def releaseCache(): Unit = synchronized {
-    cachedPreps.foreach(r => Option(r.get()).foreach(_.unpersist(false)))
+    cachedPreps.foreach(_.unpersist(false))
     cachedPreps.clear()
   }
+
+  /** Scoped cache lifetime for library callers: run `body` (materialize its
+    * result inside!), then release every prep frame the dedup operators
+    * cached while it ran — the no-leak composition point for apps that
+    * don't manage [[releaseCache]] themselves.
+    */
+  def withCache[T](body: => T): T =
+    try body finally releaseCache()
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct
     * `textCol`. Digest-keyed shuffle; returns kept ids + group sizes.

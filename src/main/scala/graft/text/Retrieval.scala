@@ -53,6 +53,13 @@ object Retrieval {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "empty query")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query names")
+    // a score column landing on an existing column would silently replace
+    // it mid-fold (and later queries would then score against a double)
+    val reserved = df.columns.toSet + "n_tokens"
+    queries.map(_._1).find(reserved.contains).foreach { nm =>
+      throw new IllegalArgumentException(
+        s"query name '$nm' collides with an input/output column")
+    }
     val lowered = queries.map { case (nm, q) => nm -> q.map(_.toLowerCase) }
     // tokens are single lowercased whitespace-free words; a term with
     // interior whitespace can never match a token and would silently score
@@ -112,7 +119,7 @@ object Retrieval {
   ): DataFrame = {
     val grams = df
       .select(col(stratumCol).as("stratum"),
-        TextHash.lowerTokens(col(textCol)).as("__tk"))
+        cleanTokens(TextHash.lowerTokens(col(textCol))).as("__tk"))
       .select(col("stratum"),
         explode(graft.text.TextQuality.wordNgrams(col("__tk"), n)).as("__g"))
     val counts = grams.groupBy(col("stratum"), col("__g"))
@@ -140,9 +147,18 @@ object Retrieval {
     * micro-units and integer-sum (order-free, exact). Documents with < 2
     * tokens score null.
     */
+  /** Tokens with the U+0001 gram-joiner excluded: a token CONTAINING the
+    * joiner would alias gram boundaries in the count table and break the
+    * context extraction (`substring_index` on the joiner) — such "words"
+    * are control-char noise, so the n-gram operators drop them up front
+    * (the oracle SQL applies the same filter).
+    */
+  private def cleanTokens(t: Column): Column =
+    filter(t, x => !x.contains("\u0001"))
+
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val prepped = df.select(col(idCol).as("__id"),
-      TextHash.lowerTokens(col(textCol)).as("__tk"))
+      cleanTokens(TextHash.lowerTokens(col(textCol))).as("__tk"))
     val bi = prepped.select(col("__id"),
       explode(graft.text.TextQuality.wordNgrams(col("__tk"), 2)).as("__bg"))
     val biCounts = bi.groupBy(col("__bg")).agg(count(lit(1)).as("__cb"))
