@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(str) - Shannon entropy in bits per codepoint"),
+      (children: Seq[Expression]) => CharEntropy(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash_parts"),
       info("graft_simhash_parts",
         "graft_simhash_parts(tokens, words) - wide SimHash as words x 32-bit parts"),
