@@ -29,11 +29,27 @@ object TextQuality {
 
   /** Language ID: argmax of stopword ratios, "und" when all zero.
     * Deterministic tie-break: language name ascending.
+    *
+    * All per-language hit counters accumulate in ONE fold over the token
+    * array (the naive per-language `stopwordRatio` form tokenizes the text
+    * once per language per use — 8 tokenizations for 4 languages — which
+    * made a pure projection the 4th-slowest bench query). Ratios share the
+    * same denominator, so the argmax and tie semantics are unchanged.
     */
   def langId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordRatio(text, l).as("s"),
-      lit(l).as("l")))
+    val t = toks(text)
+    val counts = aggregate(t, array(langs.map(_ => lit(0L)): _*),
+      (acc, x) => array(langs.zipWithIndex.map { case (l, i) =>
+        element_at(acc, i + 1) +
+          when(array_contains(array(stopwords(l).map(lit): _*), x), 1L)
+            .otherwise(0L)
+      }: _*))
+    val n = greatest(size(t), lit(1)).cast("double")
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct((element_at(counts, i + 1).cast("double") / n).as("s"),
+        lit(l).as("l"))
+    }
     val best = scored.reduce((a, b) => when(b > a, b).otherwise(a))
     when(best.getField("s") <= 0.0, lit("und")).otherwise(best.getField("l"))
   }
