@@ -283,7 +283,7 @@ object Dedup {
     val rows = numHashes / bands
     val withSig = df.select(
       col(idCol).as("id"),
-      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"))
+      TextHash.sortedShingleHashes(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("bkeys", TextHash.bandKeys(
         TextHash.minhashSig(col("sh"), numHashes), bands, rows))
@@ -341,7 +341,7 @@ object Dedup {
   ): DataFrame = materialize(
     df.select(
       col(idCol).as("id"), blockKey.as("blk"),
-      array_sort(TextHash.shingleHashes(col(textCol), shingleN)).as("sh"),
+      TextHash.sortedShingleHashes(col(textCol), shingleN).as("sh"),
       md5(col(textCol)).as("__md5"))
       .withColumn("sz", size(col("sh"))))
 

@@ -35,9 +35,19 @@ object TextHash {
 
   /** Distinct shingle hashes (the set representation used by minhash &
     * jaccard) — hash each n-gram with the cross-engine polynomial hash.
+    * Declarative form (quadratic substr seeks); operators use
+    * [[sortedShingleHashes]].
     */
   def shingleHashes(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), polyHash _))
+
+  /** SORTED distinct shingle hashes in one native pass ([[graft.functions
+    * .SortedShingleHashes]]) — the dedup suite's shared prep kernel; set-
+    * and order-identical to `array_sort(shingleHashes(text, n))`
+    * (TextSpec pins it), O(len·n) instead of O(len²).
+    */
+  def sortedShingleHashes(text: Column, n: Int): Column =
+    graft.functions.SortedShingleHashes(text, n)
 
   /** Jaccard similarity of two precomputed distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -138,6 +138,21 @@ class Round4Spec extends GraftSuite {
     assert(none.where(col("n_kept") =!= col("n_lines")).count() == 0)
   }
 
+  test("sortedShingleHashes native == array_sort(declarative) over the real corpus + edges") {
+    import graft.text.TextHash
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq("", "ab", "abc", "aaaaaa", "héllo wörld", "日本語テキスト")
+        .toDF("text"))
+    Seq(2, 3, 5).foreach { n =>
+      val diff = docs.select(
+        TextHash.sortedShingleHashes(col("text"), n).as("nat"),
+        array_sort(TextHash.shingleHashes(col("text"), n)).as("decl"))
+        .where(col("nat") =!= col("decl")).count()
+      assert(diff == 0, s"n=$n: native shingle kernel must match the declarative form")
+    }
+  }
+
   test("charEntropy native == declarative fold over the real corpus + unicode") {
     import graft.text.TextQuality
     val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
