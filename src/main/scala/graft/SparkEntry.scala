@@ -833,6 +833,18 @@ object SparkEntry {
       graft.text.Retrieval.bigramLogProb(
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_transitions"), col("avg_logp2"))
+    }),
+
+    "q71_hashed_bow" -> ((s, dir) => {
+      // feature-hashing embedding: text → signed bag-of-words vector with
+      // no vocabulary/model — the zero-dependency featurizer feeding
+      // semanticDedup/ANN for corpora without embeddings. Values are exact
+      // ±1 sums → strict cross-engine compare with no rounding
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.text.TextHash.hashedBow(col("text"), 16))
+            .as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim").cast("int").as("dim"), col("v"))
     })
   )
 
@@ -2088,6 +2100,22 @@ object SparkEntry {
          |)
          |SELECT d.doc_id, agg.n_transitions, agg.avg_logp2
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+    },
+
+    "q71_hashed_bow" -> {
+      // per-dimension signed-count fold over the token hashes — same ±1
+      // terms, order-free integer sums in double form
+      val th = s"list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})"
+      def dimExpr(j: Int): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(th, h -> " +
+          s"CASE WHEN h % 16 = $j THEN " +
+          s"(CASE WHEN (h >> 8) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) " +
+          s"ELSE CAST(0.0 AS DOUBLE) END)), (a, x) -> a + x)"
+      val dims = (0 until 16).map(j => s"{'dim': $j, 'v': ${dimExpr(j)}}")
+      s"""WITH t AS (SELECT doc_id, $th AS th FROM documents),
+         |e AS (SELECT doc_id, unnest([${dims.mkString(", ")}]) AS u FROM t)
+         |SELECT doc_id, CAST(u.dim AS INTEGER) AS dim, u.v AS v
+         |FROM e""".stripMargin
     },
 
     "q60_unigram_lm" -> {

@@ -159,6 +159,27 @@ object TextHash {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** Hashing-trick bag-of-words embedding (feature hashing): dimension
+    * j accumulates ±1 per token whose hash lands in bucket j (sign from
+    * hash bit 8 — the classic signed hashing trick that keeps collisions
+    * unbiased). No vocabulary, no model, deterministic in any engine —
+    * the zero-dependency featurizer that feeds [[graft.text.Dedup
+    * .semanticDedup]] / ANN for corpora without precomputed embeddings.
+    * Order/repetition behavior: bag semantics (order-invariant, counts
+    * matter). Values are exact small integers in double form — strict
+    * cross-engine comparable with no rounding.
+    */
+  def hashedBow(text: Column, dim: Int): Column = {
+    val hs = transform(tokens(text), polyHash _)
+    aggregate(hs, array(Seq.fill(dim)(lit(0.0)): _*),
+      (acc, h) => transform(sequence(lit(0), lit(dim - 1)),
+        j => element_at(acc, j.cast("int") + 1) +
+          when(pmod(h, lit(dim.toLong)) === j.cast("long"),
+            when(pmod(shiftright(h, 8), lit(2L)) === 1L, lit(1.0))
+              .otherwise(lit(-1.0)))
+          .otherwise(lit(0.0))))
+  }
+
   /** Document fingerprint: rolling hash over the SORTED DISTINCT token
     * hashes — invariant to token order and repetition (the classic
     * "fingerprint" canopy key for fuzzy dedup).

@@ -280,6 +280,28 @@ class Round4Spec extends GraftSuite {
     assert(out(3L)._1.isEmpty && out(4L)._1.isEmpty, "docs with <2 tokens score null")
   }
 
+  test("hashedBow → semanticDedup: end-to-end text semantic dedup with no external model") {
+    import graft.text.{Dedup, TextHash}
+    // reordered twin (same bag → identical vector) must collapse; distinct
+    // docs must survive
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "hotel golf foxtrot echo delta charlie bravo alpha"), // reorder of 1
+      (3L, "completely different words about spark engines here now"),
+      (4L, "yet another unrelated document with its own content")
+    ).toDF("id", "text")
+    val vecs = docs.select(col("id"), TextHash.hashedBow(col("text"), 16).as("v"))
+    // identical bags → identical vectors
+    val v12 = vecs.where(col("id").isin(1L, 2L)).select(col("v"))
+      .collect().map(_.getSeq[Double](0))
+    assert(v12(0) == v12(1), "bag-of-words embedding must be order-invariant")
+    val kept = Dedup.semanticDedup(vecs, "id", "v",
+      nClusters = 2, threshold = 0.999)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"reordered twin must collapse to min id: $kept")
+    graft.text.Dedup.releaseCache()
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
