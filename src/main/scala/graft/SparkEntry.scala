@@ -165,11 +165,14 @@ object SparkEntry {
     }),
 
     "q12_quantile" -> ((s, dir) => {
+      // all three quantiles from ONE aggregation buffer (array percentile)
       val x = col("l_extendedprice")
       li(s, dir).groupBy(col("l_returnflag")).agg(
-        round(WeightedStats.quantile(x, 0.25), 6).as("q25"),
-        round(WeightedStats.quantile(x, 0.5), 6).as("q50"),
-        round(WeightedStats.quantile(x, 0.75), 6).as("q75"))
+        WeightedStats.quantiles(x, Seq(0.25, 0.5, 0.75)).as("__q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__q"), 1), 6).as("q25"),
+          round(element_at(col("__q"), 2), 6).as("q50"),
+          round(element_at(col("__q"), 3), 6).as("q75"))
     }),
 
     // ---- composition featurizers ------------------------------------------

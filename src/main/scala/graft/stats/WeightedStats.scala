@@ -149,6 +149,13 @@ object WeightedStats {
     */
   def quantile(x: Column, q: Double): Column = percentile(x, lit(q))
 
+  /** Several exact quantiles from ONE aggregation buffer (array form of
+    * `percentile`) — three separate `quantile` calls would each collect
+    * and sort their own per-group state.
+    */
+  def quantiles(x: Column, qs: Seq[Double]): Column =
+    percentile(x, array(qs.map(lit): _*))
+
   /** Exact WEIGHTED quantile (frequency-weight semantics): equivalent to
     * np.quantile over the list with each x repeated `w` times, so unit
     * weights reduce to [[quantile]] exactly. Linear interpolation on the
