@@ -411,9 +411,19 @@ object Dedup {
       blockKey: org.apache.spark.sql.Column,
       shingleN: Int = 3,
       threshold: Double = 0.7
+  ): DataFrame =
+    dedupIncrementalPrepped(batch,
+      prepDocs(batch, idCol, textCol, blockKey, shingleN),
+      prepDocs(corpus, idCol, textCol, blockKey, shingleN),
+      idCol, threshold)
+
+  private def dedupIncrementalPrepped(
+      batch: DataFrame,
+      bp: DataFrame,
+      cp: DataFrame,
+      idCol: String,
+      threshold: Double
   ): DataFrame = {
-    val bp = prepDocs(batch, idCol, textCol, blockKey, shingleN)
-    val cp = prepDocs(corpus, idCol, textCol, blockKey, shingleN)
     // exact collisions with the corpus: digest semi-join (never the text)
     val exactHit = bp.select(col("id"), col("__md5"))
       .join(cp.select(col("__md5")).distinct(), Seq("__md5"), "left_semi")
@@ -426,6 +436,56 @@ object Dedup {
       .join(exactHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
+
+  /** Persist the corpus DEDUP INDEX — the (id, blk, sh, sz, __md5)
+    * signature frame — as an Iceberg-lite table bucketed on the block key.
+    * At 100 TB this is what makes daily ingest sustainable: the corpus
+    * prep scan (shingling + digesting every document) happens once per
+    * document EVER, not once per day; each ingest reads signatures —
+    * a few hundred bytes/doc — never the corpus text. Admitted batches
+    * append their own prep rows to the index (same schema), so the index
+    * grows with the corpus and stays its single source of dedup truth.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int,
+      root: String,
+      nBuckets: Int = 32
+  ): Unit = {
+    val prep = corpus.select(
+      col(idCol).as("id"), blockKey.as("blk"),
+      TextHash.sortedShingleHashes(col(textCol), shingleN).as("sh"),
+      md5(col(textCol)).as("__md5"))
+      .withColumn("sz", size(col("sh")))
+    graft.lake.IcebergLite.writeTable(prep, root,
+      pmod(graft.functions.PolyHash(col("blk").cast("string")), lit(nBuckets.toLong)),
+      nBuckets, lineage = s"dedup-index(shingleN=$shingleN)")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    graft.lake.IcebergLite.readTable(spark, root).drop("bucket")
+
+  /** [[dedupIncremental]] against a PERSISTED index ([[writeIndex]]):
+    * the corpus side needs no text access and no re-prep — signatures
+    * stream off the index table; only the new batch is shingled.
+    */
+  def dedupIncrementalIndexed(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int = 3,
+      threshold: Double = 0.7
+  ): DataFrame =
+    dedupIncrementalPrepped(batch,
+      prepDocs(batch, idCol, textCol, blockKey, shingleN),
+      materialize(index.select(col("id"), col("blk"), col("sh"),
+        col("__md5"), col("sz"))),
+      idCol, threshold)
 
   /** SimHash near-dup pairs at production width: `words`×32-bit signatures
     * (default 64 bits), candidates = any shared 16-bit band (2·words

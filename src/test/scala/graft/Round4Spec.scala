@@ -302,6 +302,31 @@ class Round4Spec extends GraftSuite {
     graft.text.Dedup.releaseCache()
   }
 
+  test("persisted dedup index: indexed ingest == recomputed ingest, corpus text never re-read") {
+    import graft.text.Dedup
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val root = "/tmp/dedup_index_spec"
+    scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    Dedup.writeIndex(corpus, "doc_id", "text", col("lang"), 3, root, nBuckets = 8)
+    val index = Dedup.readIndex(spark, root)
+    // the index carries signatures only — never the document text
+    assert(!index.columns.contains("text"),
+      "index must not store corpus text")
+    val indexed = Dedup.dedupIncrementalIndexed(batch, index,
+      "doc_id", "text", col("lang"), 3, 0.7).as[Long].collect().toSet
+    Dedup.releaseCache()
+    val recomputed = Dedup.dedupIncremental(batch, corpus,
+      "doc_id", "text", col("lang"), 3, 0.7).as[Long].collect().toSet
+    Dedup.releaseCache()
+    assert(indexed == recomputed,
+      s"indexed admissions must equal recomputed: ${indexed.size} vs ${recomputed.size}")
+    // the lake table committed a snapshot with lineage
+    assert(graft.lake.IcebergLite.readSnapshot(root).exists(
+      _.lineage.exists(_.contains("dedup-index"))))
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
