@@ -848,6 +848,46 @@ object SparkEntry {
           posexplode(graft.text.TextHash.hashedBow(col("text"), 16))
             .as(Seq("dim", "v")))
         .select(col("doc_id"), col("dim").cast("int").as("dim"), col("v"))
+    }),
+
+    "q72_dup_spans" -> ((s, dir) => {
+      // ExactSubstr-family duplicate-passage detection: maximal spans of
+      // 8-token windows whose window hash repeats anywhere in the corpus
+      // (Lee et al. 2022 at window granularity). The synthetic docs repeat
+      // naturally (~1k duplicated 8-grams at sf0.01)
+      graft.text.Spans.duplicateSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
+    }),
+
+    "q73_bpe_pairs" -> ((s, dir) => {
+      // tokenizer training, iteration-1 stats: adjacent char-pair counts
+      // weighted by corpus word frequency — the first BPE merge candidates.
+      // The corpus-wide pass is the word-freq table; pairs explode the
+      // WORD TABLE, not the corpus
+      import org.apache.spark.sql.expressions.Window
+      val wf = graft.text.Bpe.wordFreqs(Tables.load(s, dir, "documents"), "text")
+      graft.text.Bpe.pairCounts(wf)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+        .where(col("rank") <= 20)
+    }),
+
+    "q74_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: target = English docs, raw = whole corpus,
+      // 256 hashed-unigram buckets, integer micro-unit log-ratio sums
+      graft.text.Sampling.importanceWeights(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256)
+        .select(col("doc_id"), col("n_tokens"),
+          col("logratio"), col("logratio_avg"))
+    }),
+
+    "q75_chunk_overlap" -> ((s, dir) => {
+      // RAG-style overlapping chunking: 24-token chunks, 6-token overlap —
+      // pure per-row projection, zero shuffle
+      graft.text.Spans.chunkOverlap(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 24, overlap = 6)
     })
   )
 
@@ -2230,6 +2270,113 @@ object SparkEntry {
          |  ${f(0)} AS f0,
          |  ${f(3)} AS f3
          |FROM documents""".stripMargin
+    },
+
+    "q72_dup_spans" -> {
+      // window hash = left fold (acc*131 + tokenHash) mod 2^32 over k=8
+      // consecutive token hashes; spans = gap-sessionized duplicated
+      // window starts (same cumsum shape as q06)
+      val th = s"list_transform(${OracleSqlGen.toks("lower(text)")}, t -> ${OracleSqlGen.poly("t")})"
+      val fold = (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"((($acc)*131 + th[i+$j]) % ${OracleSqlGen.M})")
+      s"""WITH p AS (
+         |  SELECT doc_id, $th AS th FROM documents
+         |), w AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, $fold AS wh
+         |  FROM p, unnest(range(1, len(th) - 6)) AS u(i)
+         |  WHERE len(th) >= 8
+         |), dup AS (
+         |  SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2
+         |), dw AS (
+         |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)
+         |), sp AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+         |      THEN 0 ELSE 1 END AS nw
+         |  FROM dw
+         |), sp2 AS (
+         |  SELECT doc_id, pos, sum(nw) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+         |  FROM sp
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM sp2 GROUP BY doc_id, span""".stripMargin
+    },
+
+    "q73_bpe_pairs" -> {
+      val tk = OracleSqlGen.toks("lower(text)")
+      s"""WITH wf AS (
+         |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM documents, unnest($tk) AS u(t) GROUP BY t
+         |), pr AS (
+         |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+         |  FROM wf, unnest(range(1, len(word))) AS u(i)
+         |  WHERE len(word) >= 2
+         |), pc AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair
+         |)
+         |SELECT pair, cnt, rank FROM (
+         |  SELECT pair, cnt, row_number() OVER (
+         |    ORDER BY cnt DESC, pair ASC) AS rank
+         |  FROM pc)
+         |WHERE rank <= 20""".stripMargin
+    },
+
+    "q74_dsir_weights" -> {
+      val tk = OracleSqlGen.toks("lower(text)")
+      s"""WITH p AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt, $tk AS tk FROM documents
+         |), tok AS (
+         |  SELECT doc_id, tgt, ${OracleSqlGen.poly("t")} % 256 AS b
+         |  FROM p, unnest(tk) AS u(t)
+         |), dist AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tok GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(CAST(sum(cr) AS BIGINT) + 256 AS DOUBLE) AS dr,
+         |    CAST(CAST(sum(ct) AS BIGINT) + 256 AS DOUBLE) AS dt
+         |  FROM dist
+         |), lam AS (
+         |  SELECT b, CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / dt)
+         |    - ln(CAST(cr + 1 AS DOUBLE) / dr)) * 1000000.0 + 0.5) AS BIGINT) AS lq
+         |  FROM dist, tot
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(CAST(CAST(sum(lq) AS BIGINT) AS DOUBLE) / 1000000.0, 6)
+         |      AS logratio,
+         |    round(CAST(CAST(sum(lq) AS BIGINT) AS DOUBLE) / 1000000.0
+         |      / CAST(count(*) AS DOUBLE), 6) AS logratio_avg
+         |  FROM tok JOIN lam USING (b) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  agg.logratio, agg.logratio_avg
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
+    "q75_chunk_overlap" -> {
+      val tk = OracleSqlGen.toks("lower(text)")
+      s"""WITH p AS (
+         |  SELECT doc_id, $tk AS tk FROM documents
+         |), c AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) <= 0 THEN 0
+         |         WHEN len(tk) <= 24 THEN 1
+         |         ELSE CAST(ceil(CAST(len(tk) - 24 AS DOUBLE) / 18.0) AS INTEGER) + 1
+         |    END AS nc
+         |  FROM p
+         |)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(i*18 + 1 AS BIGINT) AS tok_start,
+         |  CAST(len(tk[CAST(i*18 + 1 AS INTEGER):CAST(i*18 + 24 AS INTEGER)]) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(tk[CAST(i*18 + 1 AS INTEGER):CAST(i*18 + 24 AS INTEGER)], ' ')
+         |    AS chunk_text
+         |FROM c, unnest(range(0, nc)) AS u(i)
+         |WHERE nc > 0""".stripMargin
     }
   )
 }

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training statistics at corpus scale: the byte-pair-encoding
+  * (BPE) pipeline split the way production tokenizer training actually
+  * splits it (Sennrich et al. 2016; HuggingFace tokenizers does the same):
+  *
+  *  1. ONE distributed pass reduces the corpus to a (word, freq) table —
+  *     the only step that touches all the data. By Heaps' law the word
+  *     table is tiny relative to the corpus (10⁷-10⁸ rows at 100 TB), and
+  *     [[wordFreqs]] can cap it to the top-N words by mass.
+  *  2. The merge LOOP runs on the word table (driver-side here; the table
+  *     is the size of a dictionary, not a corpus) — each merge only
+  *     rewrites the words that contain the merged pair.
+  *
+  * [[pairCounts]] exposes step 2's first iteration as a distributed,
+  * oracle-verifiable aggregation (the top pair IS the first BPE merge).
+  */
+object Bpe {
+
+  /** Corpus → (word, freq) — the one full-data pass of tokenizer training.
+    * `maxWords > 0` keeps only the top `maxWords` words by (freq desc,
+    * word) — deterministic truncation for bounding driver memory; 0 keeps
+    * all.
+    */
+  def wordFreqs(df: DataFrame, textCol: String, maxWords: Int = 0): DataFrame = {
+    val wf = df.select(explode(TextHash.lowerTokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    if (maxWords <= 0) wf
+    else wf.orderBy(col("freq").desc, col("word")).limit(maxWords)
+  }
+
+  /** Adjacent-symbol pair counts over a (word, freq) table at the CHARACTER
+    * stage (iteration 1 of BPE): each word contributes its adjacent
+    * character pairs weighted by the word's corpus frequency. One explode
+    * over the word table (not the corpus) + one partial-agg groupBy.
+    * Returns (pair, cnt): `pair` is the 2-char string.
+    */
+  def pairCounts(wordFreqs: DataFrame): DataFrame =
+    wordFreqs
+      .where(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+
+  /** Classic BPE merge loop over a COLLECTED word table (driver-side by
+    * design — see object doc). Words are symbol sequences starting at
+    * characters; each round merges the most frequent adjacent pair
+    * (ties broken by pair lexicographic order, deterministic) everywhere
+    * it occurs, left-to-right non-overlapping, and records it.
+    *
+    * Returns the merge list in order: (left symbol, right symbol, count at
+    * merge time). Stops early when no pair occurs twice.
+    */
+  def train(words: Seq[(String, Long)], numMerges: Int): Seq[(String, String, Long)] = {
+    var seqs: Array[(Array[String], Long)] =
+      words.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }.toArray
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }
+        .headOption.filter(_._2 >= 2)
+      best match {
+        case None => done = true
+        case Some(((a, b), c)) =>
+          merges += ((a, b, c))
+          val merged = a + b
+          seqs = seqs.map { case (s, f) =>
+            if (s.length < 2) (s, f)
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < s.length) {
+                if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                  out += merged; i += 2
+                } else { out += s(i); i += 1 }
+              }
+              (out.result(), f)
+            }
+          }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** End-to-end: corpus → word table (distributed) → merge list (driver).
+    * `maxWords` bounds the driver collect.
+    */
+  def trainFromCorpus(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 1000000
+  ): Seq[(String, String, Long)] = {
+    val wf = wordFreqs(df, textCol, maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    train(wf, numMerges)
+  }
+}

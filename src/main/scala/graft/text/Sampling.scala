@@ -101,6 +101,85 @@ object Sampling {
     * independent sampling). Rounding drift in the last band falls into the
     * final split.
     */
+  /** DSIR-style importance weights ("Data Selection for Language Models
+    * via Importance Resampling", Xie et al. 2023) with hashed-unigram
+    * features: score every document by how much more likely its tokens are
+    * under the TARGET distribution (rows where `isTarget`) than under the
+    * RAW distribution (all rows).
+    *
+    *   weight(d) = Σ_tokens λ[b(tok)],  λ[b] = ln p_t[b] − ln p_r[b],
+    *   b(tok) = polyHash(tok) mod buckets,  p[b] = (c[b]+1)/(T+buckets)
+    *   (add-one smoothing).
+    *
+    * Scale shape: ONE explode to (id, bucket) rows; BOTH distributions come
+    * from the same aggregation (count + count-where-target per bucket —
+    * one shuffle of O(buckets) partial buffers); the λ table is
+    * buckets-sized → broadcast-joined back; per-doc sums are integer sums
+    * of micro-unit-quantized λ (floor(λ·10⁶+0.5), associative and exact —
+    * the q60 determinism pattern), so results are bit-identical at any
+    * parallelism and verifiable in ANSI SQL.
+    *
+    * Returns df's columns plus (n_tokens, logratio, logratio_avg); docs
+    * with no tokens get n_tokens=0 and null scores. Resampling is
+    * [[gumbelKey]] over `logratio_avg` + top-k.
+    */
+  def importanceWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    val toks = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+      explode(TextHash.lowerTokens(col(textCol))).as("__tok"))
+      .select(col("__id"), col("__tgt"),
+        pmod(TextHash.polyHash(col("__tok")), lit(buckets.toLong)).as("__b"))
+    // ONE corpus aggregation builds both distributions; the result is
+    // buckets-sized, so totals and λ are driver arithmetic on it — no
+    // second corpus scan for the normalizers
+    val dist = toks.groupBy(col("__b")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+      .collect().map(r =>
+        (r.getAs[Long]("__b"), r.getAs[Long]("__cr"), r.getAs[Long]("__ct")))
+    val denomR = (dist.map(_._2).sum + buckets).toDouble
+    val denomT = (dist.map(_._3).sum + buckets).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lam = dist.toSeq.map { case (b, cr, ct) =>
+      (b, math.floor((math.log((ct + 1L).toDouble / denomT) -
+        math.log((cr + 1L).toDouble / denomR)) * 1e6 + 0.5).toLong)
+    }.toDF("__b", "__lq")
+    val scored = toks
+      .join(broadcast(lam), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lq")).as("__sq"))
+      .withColumn("logratio",
+        round(col("__sq").cast("double") / 1e6, 6))
+      .withColumn("logratio_avg",
+        round(col("__sq").cast("double") / 1e6 /
+          col("n_tokens").cast("double"), 6))
+      .drop("__sq")
+    df.join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
+  /** Deterministic Gumbel-top-k key for importance RESAMPLING: ordering by
+    * `weight + Gumbel(u)` desc and keeping the top k samples without
+    * replacement with probability ∝ exp(weight) (the Gumbel-max trick).
+    * The uniform comes from the identity hash — (h+1)/(1000+1) over the
+    * same 1/1000th band as [[keepAtRate]] — so u ∈ (0,1) strictly, the
+    * sample is reproducible anywhere, and the exact op order
+    * (−ln(−ln u)) is plain SQL.
+    */
+  def gumbelKey(weight: Column, identity: Column, salt: String = "g1"): Column = {
+    val u = (pmod(
+      TextHash.polyHash(concat(identity.cast("string"), lit(":" + salt))),
+      lit(1000L)).cast("double") + 1.0) / 1001.0
+    weight + -log(-log(u))
+  }
+
   def assignSplit(
       identity: Column,
       fractions: Seq[(String, Double)],

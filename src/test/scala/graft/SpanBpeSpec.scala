@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Bpe, Sampling, Spans, TextHash}
+
+/** Round-4 additions: duplicate-passage spans, overlap chunking, BPE
+  * tokenizer-training stats, DSIR importance weights.
+  */
+class SpanBpeSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("duplicateSpans: hand truth table — cross-doc, within-doc, split spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // shares [a b c] [b c d] with doc 2
+      (2L, "x a b c d y"),
+      (3L, "p q r p q r p q"),        // every window duplicated WITHIN doc
+      (4L, "unique tokens only here nothing repeats"),
+      (5L, "a b c zz1 zz2 zz3 zz4 a b c") // two disjoint spans in one doc
+    ).toDF("id", "text")
+    val out = Spans.duplicateSpans(docs, "id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val expected = Set(
+      (1L, 1L, 4L, 4L, 2L),  // windows at pos 1,2 -> tokens 1..4
+      (2L, 2L, 5L, 4L, 2L),  // windows at pos 2,3 -> tokens 2..5
+      (3L, 1L, 8L, 8L, 6L),  // all 6 windows duplicated -> whole doc
+      (5L, 1L, 3L, 3L, 1L),  // [a b c] at the start...
+      (5L, 8L, 10L, 3L, 1L)  // ...and again at the end: NOT merged
+    )
+    assert(out === expected)
+  }
+
+  test("chunkOverlap: hand truth table + coverage/overlap invariants") {
+    val docs = Seq(
+      (0L, ""),                         // no tokens -> no chunks
+      (1L, "t1 t2 t3"),                 // shorter than one chunk
+      (2L, "t1 t2 t3 t4"),              // exactly one chunk
+      (3L, "t1 t2 t3 t4 t5"),           // remainder chunk of 2
+      (4L, (1 to 10).map("w" + _).mkString(" "))
+    ).toDF("id", "text")
+    val out = Spans.chunkOverlap(docs, "id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(0L), "empty doc yields no chunks")
+    assert(byDoc(1L).toSeq === Seq((1L, 0L, 1L, 3L, "t1 t2 t3")))
+    assert(byDoc(2L).toSeq === Seq((2L, 0L, 1L, 4L, "t1 t2 t3 t4")))
+    assert(byDoc(3L).sortBy(_._2).toSeq === Seq(
+      (3L, 0L, 1L, 4L, "t1 t2 t3 t4"), (3L, 1L, 4L, 2L, "t4 t5")))
+    // 10 tokens, stride 3: starts 1,4,7 with len 4 each (7+4-1 = 10)
+    assert(byDoc(4L).sortBy(_._2).map(c => (c._3, c._4)).toSeq ===
+      Seq((1L, 4L), (4L, 4L), (7L, 4L)))
+    // invariants on the real corpus: full coverage, exact overlap between
+    // consecutive chunks, last chunk ends exactly at the doc's last token
+    val corpus = spark.read.parquet(s"$sfSmall/documents.parquet")
+    val chunks = Spans.chunkOverlap(corpus, "doc_id", "text", 24, 6)
+      .groupBy(col("doc_id"))
+      .agg(max(col("tok_start") + col("n_chunk_tokens") - 1).as("covered"),
+        min(col("n_chunk_tokens")).as("minLen"),
+        count(lit(1)).as("nc"))
+    val toks = corpus.select(col("doc_id"),
+      size(TextHash.lowerTokens(col("text"))).cast("long").as("n"))
+    val joined = chunks.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("covered") === r.getAs[Long]("n"),
+        s"chunks must cover every token: $r")
+      assert(r.getAs[Long]("minLen") >= 1L)
+    }
+  }
+
+  test("Bpe.train: classic corpus — hand-derived merge sequence with tie-breaks") {
+    // Sennrich et al. running example: es(9) wins the st(9) tie
+    // lexicographically, then est(9), then lo(7) over ow(7), then low(7)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(words, 4)
+    assert(merges === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    // early stop: no pair reaches count 2
+    assert(Bpe.train(Seq(("ab", 1L), ("cd", 1L)), 10) === Seq())
+  }
+
+  test("Bpe.pairCounts: distributed iteration-1 counts match the driver loop's first merge") {
+    val docs = Seq((1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("id", "text")
+    val wf = Bpe.wordFreqs(docs, "text")
+    assert(wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L))
+    val pc = Bpe.pairCounts(wf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pc("es") === 9L && pc("st") === 9L && pc("lo") === 7L &&
+      pc("we") === 8L && pc("er") === 2L)
+    val topDistributed = pc.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    val firstMerge = Bpe.train(
+      wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 1).head
+    assert(topDistributed === (firstMerge._1 + firstMerge._2, firstMerge._3))
+    // maxWords truncation is deterministic: top-2 by (freq desc, word)
+    assert(Bpe.wordFreqs(docs, "text", maxWords = 2).collect()
+      .map(_.getString(0)).toSet === Set("newest", "low"))
+  }
+
+  test("importanceWeights: driver replay of the hashed-unigram log-ratio arithmetic") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", "the lazy dog sleeps"),
+      (3L, "de", "der schnelle braune fuchs"),
+      (4L, "de", "the dog the fox"),   // raw-only doc reusing target words
+      (5L, "fr", "")                   // no tokens
+    ).toDF("id", "lang", "text")
+    val buckets = 8
+    val out = Sampling.importanceWeights(docs, "id", "text",
+      col("lang") === "en", buckets)
+      .select(col("id"), col("n_tokens"), col("logratio"), col("logratio_avg"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // exact driver replay
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % (1L << 32))
+    val rows = Seq(
+      (1L, true, "the quick brown fox"), (2L, true, "the lazy dog sleeps"),
+      (3L, false, "der schnelle braune fuchs"), (4L, false, "the dog the fox"),
+      (5L, false, ""))
+    val toks = rows.flatMap { case (id, tgt, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w =>
+        (id, tgt, polyHash(w.toLowerCase) % buckets))
+    }
+    val cr = toks.groupBy(_._3).map { case (b, v) => b -> v.size.toLong }
+    val ct = toks.filter(_._2).groupBy(_._3)
+      .map { case (b, v) => b -> v.size.toLong }
+    val dr = (toks.size.toLong + buckets).toDouble
+    val dt = (toks.count(_._2).toLong + buckets).toDouble
+    def lq(b: Long): Long = math.floor(
+      (math.log((ct.getOrElse(b, 0L) + 1L) / dt) -
+        math.log((cr(b) + 1L) / dr)) * 1e6 + 0.5).toLong
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.filter(_._3.nonEmpty).foreach { case (id, _, _) =>
+      val myToks = toks.filter(_._1 == id)
+      val s = myToks.map(t => lq(t._3)).sum
+      assert(out(id).getAs[Long]("n_tokens") === myToks.size.toLong)
+      assert(out(id).getAs[Double]("logratio") === r6(s.toDouble / 1e6))
+      assert(out(id).getAs[Double]("logratio_avg") ===
+        r6(s.toDouble / 1e6 / myToks.size))
+    }
+    assert(out(5L).getAs[Long]("n_tokens") === 0L)
+    assert(out(5L).isNullAt(2) && out(5L).isNullAt(3))
+    // target docs should score higher than the disjoint-vocab raw doc
+    assert(out(1L).getAs[Double]("logratio_avg") >
+      out(3L).getAs[Double]("logratio_avg"))
+  }
+
+  test("gumbelKey: deterministic, reproducible, monotone in weight for a fixed identity") {
+    val df = Seq((1L, 0.5), (2L, 0.5), (3L, -2.0)).toDF("id", "w")
+    val k1 = df.select(col("id"),
+      Sampling.gumbelKey(col("w"), col("id")).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val k2 = df.select(col("id"),
+      Sampling.gumbelKey(col("w"), col("id")).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(k1 === k2, "same identity + weight -> same key")
+    // driver replay of the exact op order
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % (1L << 32))
+    def key(w: Double, id: Long): Double = {
+      val u = (polyHash(s"$id:g1") % 1000 + 1.0) / 1001.0
+      w + -math.log(-math.log(u))
+    }
+    k1.foreach { case (id, k) =>
+      val w = if (id == 3L) -2.0 else 0.5
+      assert(approx(k, key(w, id), 1e-12))
+    }
+    // raising the weight at the same identity raises the key
+    val hi = Seq((1L, 5.0)).toDF("id", "w")
+      .select(Sampling.gumbelKey(col("w"), col("id"))).head().getDouble(0)
+    assert(hi > k1(1L))
+  }
+}
