@@ -888,6 +888,23 @@ object SparkEntry {
       graft.text.Spans.chunkOverlap(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 24, overlap = 6)
+    }),
+
+    "q76_passage_dedup" -> ((s, dir) => {
+      // end-to-end passage cleaning: q72's duplicated spans stripped from
+      // every doc, surviving tokens reassembled in place (no reassembly
+      // aggregation — the doc never leaves its row)
+      graft.text.Spans.dedupPassages(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
+    }),
+
+    "q77_quality_gram" -> ((s, dir) => {
+      // in-engine quality-classifier training: the augmented Gram
+      // [X|1|y]^T[X|1|y] over 16-dim hashed-BOW features + English label —
+      // ONE aggregation (171 exact integer sums), the driver solves ridge
+      graft.text.Classifier.qualityGram(
+        Tables.load(s, dir, "documents"), "text",
+        label = col("lang") === "en", dims = 16)
     })
   )
 
@@ -2377,6 +2394,80 @@ object SparkEntry {
          |    AS chunk_text
          |FROM c, unnest(range(0, nc)) AS u(i)
          |WHERE nc > 0""".stripMargin
+    },
+
+    "q76_passage_dedup" -> {
+      // q72's span derivation, then positional anti-filter + ordered
+      // reassembly (string_agg ORDER BY pos)
+      val th = s"list_transform(tk, t -> ${OracleSqlGen.poly("t")})"
+      val fold = (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"((($acc)*131 + th[i+$j]) % ${OracleSqlGen.M})")
+      s"""WITH p AS (
+         |  SELECT doc_id, ${OracleSqlGen.toks("lower(text)")} AS tk FROM documents
+         |), ph AS (
+         |  SELECT doc_id, tk, $th AS th FROM p
+         |), w AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, $fold AS wh
+         |  FROM ph, unnest(range(1, len(th) - 6)) AS u(i)
+         |  WHERE len(th) >= 8
+         |), dup AS (
+         |  SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2
+         |), dw AS (
+         |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)
+         |), sp AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+         |      THEN 0 ELSE 1 END AS nw
+         |  FROM dw
+         |), sp2 AS (
+         |  SELECT doc_id, pos, sum(nw) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+         |  FROM sp
+         |), spans AS (
+         |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+         |    CAST(max(pos) + 7 AS BIGINT) AS e
+         |  FROM sp2 GROUP BY doc_id, span
+         |), tokpos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INTEGER)] AS tok
+         |  FROM p, unnest(range(1, len(tk) + 1)) AS u(i)
+         |), kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos <= s.e)
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT p.doc_id, CAST(len(p.tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM p LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
+    "q77_quality_gram" -> {
+      // v = 16 hashedBow dims (same per-dim fold as q71) ++ [1, y];
+      // every Gram entry is an exact-integer sum — strict compare
+      val th = s"list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})"
+      def dimExpr(j: Int): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(th, h -> " +
+          s"CASE WHEN h % 16 = $j THEN " +
+          s"(CASE WHEN (h >> 8) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) " +
+          s"ELSE CAST(0.0 AS DOUBLE) END)), (a, x) -> a + x)"
+      val dims = (0 until 16).map(dimExpr)
+      s"""WITH t AS (SELECT lang, $th AS th FROM documents),
+         |v AS (
+         |  SELECT [${dims.mkString(", ")}, CAST(1.0 AS DOUBLE),
+         |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END] AS v
+         |  FROM t
+         |)
+         |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+         |  CAST(sum(CAST(v[CAST(i AS INTEGER) + 1] * v[CAST(j AS INTEGER) + 1]
+         |    AS BIGINT)) AS BIGINT) AS s
+         |FROM v, range(0, 18) a(i), range(0, 18) b(j)
+         |WHERE j >= i
+         |GROUP BY i, j""".stripMargin
     }
   )
 }

@@ -84,6 +84,68 @@ object Spans {
         col("n_windows"))
   }
 
+  /** Remove token SPANS from documents and reassemble the surviving text —
+    * the cleaning half of passage dedup: feed it [[duplicateSpans]] output
+    * (or any (id, span_start, span_end) frame; which spans to strip is the
+    * caller's policy).
+    *
+    * Shape: spans aggregate to one array per doc (a doc has FEW spans —
+    * group memory is O(spans/doc)); a broadcast-or-shuffle equi join puts
+    * them next to the doc row; the strip itself is one projection — a
+    * per-position `exists` over the doc's own span array, no token
+    * explode, no reassembly aggregation (unlike line dedup, the row never
+    * leaves the doc).
+    *
+    * Returns (id, n_tokens, n_kept, clean_text).
+    */
+  def stripSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame
+  ): DataFrame = {
+    val spanArr = spans.groupBy(col(idCol).as("id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val p = df.select(col(idCol).as("id"),
+      TextHash.lowerTokens(col(textCol)).as("tk"))
+    p.join(spanArr, Seq("id"), "left")
+      .withColumn("__spans",
+        coalesce(col("__spans"), array().cast("array<struct<s:long,e:long>>")))
+      .withColumn("__keptToks",
+        // sequence(1, 0) DESCENDS in Spark — guard the empty doc explicitly
+        when(size(col("tk")) === 0,
+          array().cast("array<struct<i:long,t:string>>"))
+          .otherwise(filter(
+            transform(sequence(lit(1), size(col("tk"))),
+              i => struct(i.cast("long").as("i"),
+                element_at(col("tk"), i.cast("int")).as("t"))),
+            pos => !exists(col("__spans"),
+              sp => pos.getField("i") >= sp.getField("s") &&
+                pos.getField("i") <= sp.getField("e")))))
+      .select(col("id").as(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("__keptToks")).cast("long").as("n_kept"),
+        array_join(transform(col("__keptToks"), p => p.getField("t")), " ")
+          .as("clean_text"))
+  }
+
+  /** End-to-end passage dedup: detect duplicated `k`-token spans
+    * ([[duplicateSpans]]) and strip them from EVERY document (the
+    * aggressive variant of Lee et al.'s ExactSubstr — production pipelines
+    * that keep one canonical copy do so with a global occurrence order;
+    * stripping all copies trades a little text for never needing one).
+    */
+  def dedupPassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minOccurrences: Long = 2L
+  ): DataFrame =
+    stripSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, k, minOccurrences))
+
   /** Overlapping token chunking — the retrieval/embedding-pipeline shape
     * (split every document into `chunkTokens`-token windows that overlap
     * by `overlap` tokens, e.g. 256/32 for a RAG index).

@@ -151,6 +151,95 @@ class SpanBpeSpec extends GraftSuite {
       out(3L).getAs[Double]("logratio_avg"))
   }
 
+  test("stripSpans: hand truth table — overlap, no-span, full-strip, empty") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans (2,3) -> "a d e f"
+      (2L, "a b c d e f"),   // overlapping (2,4)+(4,5) -> "a f"
+      (3L, "g h i"),         // no spans -> unchanged
+      (4L, "x y"),           // span covers everything -> ""
+      (5L, "")               // empty doc
+    ).toDF("id", "text")
+    val spans = Seq((1L, 2L, 3L), (2L, 2L, 4L), (2L, 4L, 5L), (4L, 1L, 2L))
+      .toDF("id", "span_start", "span_end")
+    val out = Spans.stripSpans(docs, "id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((6L, 4L, "a d e f")))
+    assert(out(2L) === ((6L, 2L, "a f")))
+    assert(out(3L) === ((3L, 3L, "g h i")))
+    assert(out(4L) === ((2L, 0L, "")))
+    assert(out(5L) === ((0L, 0L, "")))
+  }
+
+  test("dedupPassages: composed detect+strip — repeated passage vanishes everywhere") {
+    val docs = Seq(
+      (1L, "s1 s2 s3 u1 u2 u3"),   // shares s1 s2 s3 with doc 2
+      (2L, "v1 v2 s1 s2 s3 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6")    // all unique
+    ).toDF("id", "text")
+    val out = Spans.dedupPassages(docs, "id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((6L, 3L, "u1 u2 u3")))
+    assert(out(2L) === ((6L, 3L, "v1 v2 v3")))
+    assert(out(3L) === ((6L, 6L, "w1 w2 w3 w4 w5 w6")))
+  }
+
+  test("qualityGram: exact driver replay; train separates a planted signal") {
+    import graft.text.Classifier
+    // planted: positive docs carry the marker tokens, negatives don't
+    val docs = (0 until 40).map { i =>
+      val pos = i % 2 == 0
+      val filler = s"w${i % 7} w${(i * 3) % 11} common words here"
+      (i.toLong, if (pos) s"premium signal $filler" else filler, pos)
+    }.toSeq
+    val df = docs.map(d => (d._1, d._2, d._3)).toDF("id", "text", "y")
+    val dims = 8
+    val gram = Classifier.qualityGram(df, "text", col("y"), dims)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gram.size === (dims + 2) * (dims + 3) / 2)
+
+    // driver replay of hashedBow (bucket = polyHash % dims, sign = bit 8)
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % (1L << 32))
+    def bow(text: String): Array[Double] = {
+      val v = Array.fill(dims)(0.0)
+      text.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val h = polyHash(t)
+        v((h % dims).toInt) += (if (((h >> 8) & 1L) == 1L) 1.0 else -1.0)
+      }
+      v
+    }
+    val vs = docs.map(d => bow(d._2) ++ Array(1.0, if (d._3) 1.0 else 0.0))
+    for (i <- 0 until dims + 2; j <- i until dims + 2) {
+      val expect = vs.map(v => (v(i) * v(j)).toLong).sum
+      assert(gram((i, j)) === expect, s"gram($i,$j)")
+    }
+
+    // end-to-end: ridge-trained margin separates the classes
+    val w = Classifier.train(df, "text", col("y"), dims, lambda = 1.0)
+    val margins = df.select(col("y"),
+      Classifier.scoreCol(col("text"), w).as("m")).collect()
+      .map(r => (r.getBoolean(0), r.getDouble(1)))
+    val posMin = margins.filter(_._1).map(_._2).min
+    val negMax = margins.filterNot(_._1).map(_._2).max
+    assert(posMin > negMax,
+      s"classifier must separate planted signal: posMin=$posMin negMax=$negMax")
+  }
+
+  test("trainRidge: lambda=0 pinv solve recovers an exact linear rule") {
+    import graft.text.Classifier
+    // y = x0 exactly: gram built by hand from vs = [x0, x1, 1, y]
+    val vs = Seq(
+      Array(1.0, 2.0, 1.0, 1.0), Array(0.0, 1.0, 1.0, 0.0),
+      Array(2.0, 0.0, 1.0, 2.0), Array(-1.0, 3.0, 1.0, -1.0))
+    val rows = for { i <- 0 until 4; j <- i until 4 } yield
+      (i, j, vs.map(v => (v(i) * v(j)).toLong).sum)
+    val w = Classifier.trainRidge(rows, dims = 2, lambda = 0.0)
+    assert(approx(w(0), 1.0, 1e-9) && approx(w(1), 0.0, 1e-9) &&
+      approx(w(2), 0.0, 1e-9), w.toSeq.toString)
+  }
+
   test("gumbelKey: deterministic, reproducible, monotone in weight for a fixed identity") {
     val df = Seq((1L, 0.5), (2L, 0.5), (3L, -2.0)).toDF("id", "w")
     val k1 = df.select(col("id"),
