@@ -898,6 +898,14 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
 
+    "q78_bpe_encode" -> ((s, dir) => {
+      // the ENCODE half of BPE as a pure projection: a fixed merge list
+      // (the q13/q18 literal-lookup pattern — rank-ordered, as training
+      // emits) applied via plain substring replacement, rank by rank
+      graft.text.Bpe.encode(Tables.load(s, dir, "documents"),
+        "doc_id", "text", SparkEntry.bpeMerges)
+    }),
+
     "q77_quality_gram" -> ((s, dir) => {
       // in-engine quality-classifier training: the augmented Gram
       // [X|1|y]^T[X|1|y] over 16-dim hashed-BOW features + English label —
@@ -907,6 +915,14 @@ object SparkEntry {
         label = col("lang") === "en", dims = 16)
     })
   )
+
+  /** Fixed rank-ordered BPE merge list for q78 — the literal-lookup-table
+    * pattern; chains demonstrate multi-level merges ("table" → 1 subword).
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "r" -> "o", "ro" -> "w", "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "e" -> "r", "o" -> "r", "i" -> "n", "s" -> "t")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2443,6 +2459,32 @@ object SparkEntry {
          |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(agg.clean_text, '') AS clean_text
          |FROM p LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
+    "q78_bpe_encode" -> {
+      // the same double-pass plain `replace` per rank (identical
+      // left-to-right non-overlapping semantics in the JVM and SQL),
+      // delimited form built by one regex pass, chr(1) as the separator
+      val delim = s"regexp_replace(w, '(.)', chr(1) || '\\1', 'g') || chr(1)"
+      val applied = bpeMerges.foldLeft(delim) { case (acc, (a, b)) =>
+        val pat = s"chr(1) || '$a' || chr(1) || '$b' || chr(1)"
+        val rep = s"chr(1) || '$a$b' || chr(1)"
+        s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+      }
+      val enc = s"string_split(regexp_replace($applied, " +
+        s"'^' || chr(1) || '|' || chr(1) || '$$', '', 'g'), chr(1))"
+      s"""WITH p AS (
+         |  SELECT doc_id, ${OracleSqlGen.toks("lower(text)")} AS tk FROM documents
+         |), e AS (
+         |  SELECT doc_id, tk, list_transform(tk, w -> $enc) AS enc FROM p
+         |)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(enc, sw -> CAST(len(sw) AS BIGINT))),
+         |    (a, x) -> a + x) AS BIGINT) AS n_subwords,
+         |  array_to_string(list_transform(enc, sw -> array_to_string(sw, '+')), ' ')
+         |    AS enc_text
+         |FROM e""".stripMargin
     },
 
     "q77_quality_gram" -> {

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-training statistics at corpus scale: the byte-pair-encoding
@@ -96,6 +96,74 @@ object Bpe {
       round += 1
     }
     merges.result()
+  }
+
+  /** The word-boundary symbol separator in the delimited representation a
+    * word is encoded through: `␁c₁␁c₂␁…␁cₙ␁` (U+0001 never appears in
+    * whitespace tokens — the same exclusion the n-gram ops rely on).
+    */
+  private val Sep = ""
+
+  /** Apply a trained merge list to a delimited-word column — the ENCODE
+    * half of BPE as a pure chained expression (no UDF): merge (a,b) is the
+    * plain left-to-right substring replacement `␁a␁b␁ → ␁ab␁`, run
+    * TWICE. One pass can skip an occurrence that starts at the separator a
+    * replacement just re-emitted (the scan resumes past it), but any
+    * occurrence surviving pass 1 is isolated — two originally-overlapping
+    * neighbors can't both survive, because skipping one means the scan is
+    * positioned to take the next — so pass 2 is always a fixpoint
+    * (spec-pinned). Quoted-literal replacement has identical left-to-right
+    * non-overlapping semantics in the JVM and in ANSI SQL `replace` — no
+    * regex dialect in play.
+    *
+    * Equivalence to canonical BPE: merges apply in rank order (a merge's
+    * components always carry lower ranks, so a completed rank never
+    * becomes applicable again), and for a ≠ b every occurrence merges
+    * exactly as BPE's left-to-right scan does. The one divergence is a
+    * degenerate SELF-run (merge (a,a) over `aaaaa…`): the subword
+    * multiset — and so every count — still matches BPE's floor(m/2)
+    * pairs + remainder, but the leftover single `a` can sit mid-run
+    * rather than at the end.
+    */
+  private def applyMerges(delimited: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(delimited) { case (acc, (a, b)) =>
+      val pat = java.util.regex.Pattern.quote(Sep + a + Sep + b + Sep)
+      val rep = Sep + a + b + Sep
+      regexp_replace(regexp_replace(acc, pat, rep), pat, rep)
+    }
+
+  /** BPE-encode every whitespace token of `textCol` with a trained merge
+    * list: tokens become `+`-joined subword groups, joined by spaces —
+    * and `n_subwords` is the TOKENIZER-ACCURATE sequence length (the count
+    * [[Packing]] / [[Sampling.mixByTokenBudget]] budgets should use once a
+    * real tokenizer exists). Pure per-row projection, zero shuffle; the
+    * merge list is a driver-side literal (vocab-sized by nature).
+    *
+    * Returns (id, n_tokens, n_subwords, enc_text).
+    */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val tk = TextHash.lowerTokens(col(textCol))
+    val encWord = (w: Column) => {
+      // ␁ before every char + a trailing ␁ = the delimited form (one
+      // regex pass; tokens here are whitespace-split, so no U+0001 inside)
+      val delimited = concat(regexp_replace(w, "(.)", Sep + "$1"), lit(Sep))
+      val merged = applyMerges(delimited, merges)
+      // strip the outer separators, then split on the survivors
+      split(regexp_replace(merged, "^" + Sep + "|" + Sep + "$", ""), Sep)
+    }
+    df.select(col(idCol).as("id"), tk.as("tk"))
+      .withColumn("__enc", transform(col("tk"), w => encWord(w)))
+      .select(col("id").as(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("__enc"), lit(0L),
+          (acc, sw) => acc + size(sw).cast("long")), lit(0L)).as("n_subwords"),
+        array_join(transform(col("__enc"), sw => array_join(sw, "+")), " ")
+          .as("enc_text"))
   }
 
   /** End-to-end: corpus → word table (distributed) → merge list (driver).

@@ -133,4 +133,41 @@ class PlanAuditSpec extends GraftSuite {
     assert(p.contains("partial_count"), s"gram counts must partial-agg:\n$p")
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
+
+  test("chunking (q75) and BPE encode (q78) are pure projections: zero exchanges, no join") {
+    Seq("q75_chunk_overlap", "q78_bpe_encode").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sfSmall))
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("duplicate spans: window hashes travel as a semi join, never a cartesian") {
+    val p = plan(SparkEntry.queries("q72_dup_spans")(spark, sfSmall))
+    assert(p.contains("LeftSemi"), s"expected a semi join on the dup hashes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup spans must stay equi-join shaped:\n$p")
+    assert(p.contains("partial_count"), s"hash counts must partial-agg:\n$p")
+  }
+
+  test("quality gram: ONE aggregation pass, partial map-side, no row explosion") {
+    val df = SparkEntry.queries("q77_quality_gram")(spark, sfSmall)
+    val p = plan(df)
+    // the ONLY Generate is the final unpack of the single aggregated row
+    // to (i,j,s) rows — plans print top-down, so it must sit ABOVE the
+    // aggregate; a per-doc pair explosion would put it below
+    assert("Generate".r.findAllIn(p).size === 1, s"one unpack explode only:\n$p")
+    assert(p.indexOf("Generate") < p.indexOf("HashAggregate"),
+      s"explode must unpack the aggregate, not feed it:\n$p")
+    assert(p.contains("partial_sum"), s"gram sums must partial-agg:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("DSIR weights: lambda table broadcasts; per-doc sums partial-agg") {
+    val df = SparkEntry.queries("q74_dsir_weights")(spark, sfSmall)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-lambda join must broadcast:\n$p")
+    assert(p.contains("partial_"), s"doc sums must partial-agg:\n$p")
+  }
 }

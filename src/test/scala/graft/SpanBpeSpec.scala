@@ -101,6 +101,80 @@ class SpanBpeSpec extends GraftSuite {
       .map(_.getString(0)).toSet === Set("newest", "low"))
   }
 
+  test("Bpe.encode: chained merges, adjacency runs, fixpoint, count parity with driver BPE") {
+    import graft.text.Bpe
+    val merges = Seq("t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "a" -> "b", "e" -> "r")
+    val docs = Seq(
+      (1L, "table tab ta t"),      // chained merges at every depth
+      (2L, "abab ababab"),         // overlapping-run chains of (a,b)
+      (3L, "xyz"),                 // no merge applies
+      (4L, "aaaa")                 // self-run: no (a,a) merge here -> chars
+    ).toDF("id", "text")
+    val out = Bpe.encode(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // NOTE "ab" merges via rank-5 (a,b) only where (t,a)/(ta,b) didn't
+    // already consume the chars — merges apply in rank order
+    assert(out(1L) === ((4L, 4L, "table tab ta t")))
+    assert(out(2L) === ((2L, 5L, "ab+ab ab+ab+ab")))
+    assert(out(3L) === ((1L, 3L, "x+y+z")))
+    assert(out(4L) === ((1L, 4L, "a+a+a+a")))
+
+    // driver replay: left-to-right non-overlapping merge application in
+    // rank order — exact sequence parity on a ≠ b merges
+    def applyDriver(w: String): Seq[String] = {
+      var syms = w.split("").filter(_.nonEmpty).toSeq
+      merges.foreach { case (a, b) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val corpus = spark.read.parquet(s"$sfSmall/documents.parquet").limit(100)
+    val enc = Bpe.encode(corpus, "doc_id", "text", merges).collect()
+    val raw = corpus.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    enc.foreach { r =>
+      val expect = raw(r.getLong(0)).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(w => applyDriver(w).mkString("+")).mkString(" ")
+      assert(r.getString(3) === expect, s"doc ${r.getLong(0)}")
+    }
+
+    // self-run divergence is bounded to ORDER, never counts: with (a,a)
+    // the multiset matches BPE's floor(m/2) pairs + remainder
+    val runDocs = Seq((1L, "aaaaa aaaa aaa")).toDF("id", "text")
+    val run = Bpe.encode(runDocs, "id", "text", Seq("a" -> "a"))
+      .head().getString(3)
+    val words = run.split(" ").map(_.split("\\+"))
+    assert(words(0).count(_ == "aa") === 2 && words(0).count(_ == "a") === 1)
+    assert(words(1).toSeq === Seq("aa", "aa"))
+    assert(words(2).count(_ == "aa") === 1 && words(2).count(_ == "a") === 1)
+  }
+
+  test("Bpe: train -> encode round trip on the corpus; concat invariant") {
+    import graft.text.Bpe
+    val corpus = spark.read.parquet(s"$sfSmall/documents.parquet").limit(200)
+    val trained = Bpe.trainFromCorpus(corpus, "text", numMerges = 10)
+    assert(trained.size === 10)
+    val enc = Bpe.encode(corpus, "doc_id", "text",
+      trained.map(m => (m._1, m._2))).collect()
+    enc.foreach { r =>
+      // subwords re-concatenate to the original tokens, and the encoded
+      // sequence is never longer than characters nor shorter than words
+      val rebuilt = r.getString(3).split(" ").map(_.replace("+", "")).mkString(" ")
+      val nTok = r.getLong(1); val nSub = r.getLong(2)
+      assert(nSub >= nTok)
+      assert(rebuilt.split(" ").length.toLong === nTok || nTok === 0L)
+    }
+  }
+
   test("importanceWeights: driver replay of the hashed-unigram log-ratio arithmetic") {
     val docs = Seq(
       (1L, "en", "the quick brown fox"),
