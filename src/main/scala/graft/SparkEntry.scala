@@ -898,6 +898,16 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
 
+    "q79_decontaminate" -> ((s, dir) => {
+      // GPT-3-style benchmark decontamination at the PUBLISHED k=13: strip
+      // every train span sharing a 13-gram with the benchmark split
+      // (doc_id % 5 = 0 plays the benchmark, as in q62)
+      val docs = Tables.load(s, dir, "documents")
+      graft.text.Spans.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(5L)) =!= 0), "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(5L)) === 0), "text", k = 13)
+    }),
+
     "q78_bpe_encode" -> ((s, dir) => {
       // the ENCODE half of BPE as a pure projection: a fixed merge list
       // (the q13/q18 literal-lookup pattern — rank-ordered, as training
@@ -2459,6 +2469,61 @@ object SparkEntry {
          |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(agg.clean_text, '') AS clean_text
          |FROM p LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
+    "q79_decontaminate" -> {
+      // q76's span/strip machinery with the hash table drawn from the
+      // benchmark split instead of corpus-wide counts
+      val th = s"list_transform(tk, t -> ${OracleSqlGen.poly("t")})"
+      val fold = (0 until 13).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"((($acc)*131 + th[i+$j]) % ${OracleSqlGen.M})")
+      s"""WITH tr AS (
+         |  SELECT doc_id, ${OracleSqlGen.toks("lower(text)")} AS tk
+         |  FROM documents WHERE doc_id % 5 <> 0
+         |), be AS (
+         |  SELECT doc_id, ${OracleSqlGen.toks("lower(text)")} AS tk
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), trh AS (SELECT doc_id, tk, $th AS th FROM tr),
+         |beh AS (SELECT doc_id, tk, $th AS th FROM be),
+         |w AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, $fold AS wh
+         |  FROM trh, unnest(range(1, len(th) - 11)) AS u(i)
+         |  WHERE len(th) >= 13
+         |), refh AS (
+         |  SELECT DISTINCT $fold AS wh
+         |  FROM beh, unnest(range(1, len(th) - 11)) AS u(i)
+         |  WHERE len(th) >= 13
+         |), dw AS (
+         |  SELECT w.doc_id, w.pos FROM w JOIN refh USING (wh)
+         |), sp AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+         |      THEN 0 ELSE 1 END AS nw
+         |  FROM dw
+         |), sp2 AS (
+         |  SELECT doc_id, pos, sum(nw) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+         |  FROM sp
+         |), spans AS (
+         |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+         |    CAST(max(pos) + 12 AS BIGINT) AS e
+         |  FROM sp2 GROUP BY doc_id, span
+         |), tokpos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INTEGER)] AS tok
+         |  FROM tr, unnest(range(1, len(tk) + 1)) AS u(i)
+         |), kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos <= s.e)
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT tr.doc_id, CAST(len(tr.tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM tr LEFT JOIN agg USING (doc_id)""".stripMargin
     },
 
     "q78_bpe_encode" -> {

@@ -46,6 +46,59 @@ object Spans {
       k: Int,
       minOccurrences: Long = 2L
   ): DataFrame = {
+    val wins = winHashFrame(df, idCol, textCol, k)
+    val dupHashes = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minOccurrences)
+      .select(col("wh"))
+    mergeSpans(wins.join(dupHashes, Seq("wh"), "left_semi"), idCol, k)
+  }
+
+  /** Cross-table duplicate spans — the GPT-3-style BENCHMARK
+    * DECONTAMINATION rule (remove training text sharing any k-gram with an
+    * evaluation set; GPT-3 used k=13): maximal spans of `df` windows whose
+    * hash occurs anywhere in `ref`. Same shapes as [[duplicateSpans]]
+    * except the hash table is `ref`'s distinct window hashes (benchmark-
+    * sized, typically broadcastable) and `df` is never self-joined.
+    */
+  def crossDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      refTextCol: String,
+      k: Int
+  ): DataFrame = {
+    val wins = winHashFrame(df, idCol, textCol, k)
+    val refHashes = winHashFrame(ref.withColumn("__rid", lit(0L)),
+      "__rid", refTextCol, k).select(col("wh")).distinct()
+    mergeSpans(wins.join(refHashes, Seq("wh"), "left_semi"), idCol, k)
+  }
+
+  /** End-to-end decontamination: detect benchmark-overlap spans
+    * ([[crossDuplicateSpans]], k=13 is the published GPT-3 rule) and strip
+    * them from the training corpus, keeping the surrounding text.
+    */
+  def decontaminate(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      k: Int = 13
+  ): DataFrame =
+    stripSpans(train, idCol, textCol,
+      crossDuplicateSpans(train, idCol, textCol, bench, benchTextCol, k))
+
+  /** (id, pos, wh) rows: the rolling window-hash explode shared by the
+    * self- and cross-table span detectors. pos is the 1-based start token.
+    */
+  private def winHashFrame(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
     require(k >= 2, s"window size k must be >= 2, got $k")
     val th = transform(TextHash.lowerTokens(col(textCol)),
       t => TextHash.polyHash(t))
@@ -56,16 +109,15 @@ object Spans {
       i => (0 until k).foldLeft(lit(0L): Column)((acc, j) =>
         pmod(acc * 131L + element_at(col("th"), (i + j).cast("int")),
           lit(TextHash.M))))
-    val wins = p.where(col("nw") > 0)
+    p.where(col("nw") > 0)
       .select(col("id"), posexplode(winHashes).as(Seq("pos0", "wh")))
       .select(col("id"), (col("pos0") + 1).as("pos"), col("wh"))
-    val dupHashes = wins.groupBy(col("wh"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= minOccurrences)
-      .select(col("wh"))
-    val dupWins = wins.join(dupHashes, Seq("wh"), "left_semi")
-    // merge adjacent duplicated window starts into maximal spans: a new
-    // span opens whenever the position gap exceeds 1 (gap-sessionize)
+  }
+
+  /** Merge marked window starts into maximal spans: a new span opens
+    * whenever the position gap exceeds 1 (the gap-sessionize cumsum).
+    */
+  private def mergeSpans(dupWins: DataFrame, idCol: String, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     dupWins
       .withColumn("__new",

@@ -31,6 +31,27 @@ class SpanBpeSpec extends GraftSuite {
     assert(out === expected)
   }
 
+  test("decontaminate: bench k-grams stripped from train; train-only dups untouched") {
+    val train = Seq(
+      (1L, "a1 a2 a3 b1 b2 b3 b4 t1 t2"),   // contains the bench 4-gram
+      (2L, "c1 c2 c3 c4 c5"),               // clean
+      (3L, "p1 p2 p3 p4 z1"),               // shares passage with doc 4 ...
+      (4L, "p1 p2 p3 p4 z2")                // ... but NOT with the benchmark
+    ).toDF("id", "text")
+    val bench = Seq((100L, "x b1 b2 b3 b4 y")).toDF("id", "text")
+    val spans = Spans.crossDuplicateSpans(train, "id", "text", bench, "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(spans.toSeq === Seq((1L, 4L, 7L, 1L)),
+      s"only the bench overlap is a span: ${spans.toSeq}")
+    val out = Spans.decontaminate(train, "id", "text", bench, "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((9L, 5L, "a1 a2 a3 t1 t2")))
+    assert(out(2L) === ((5L, 5L, "c1 c2 c3 c4 c5")))
+    assert(out(3L) === ((5L, 5L, "p1 p2 p3 p4 z1")), "train-only dup kept")
+    assert(out(4L) === ((5L, 5L, "p1 p2 p3 p4 z2")))
+  }
+
   test("chunkOverlap: hand truth table + coverage/overlap invariants") {
     val docs = Seq(
       (0L, ""),                         // no tokens -> no chunks
