@@ -898,6 +898,24 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
 
+    "q80_normalize" -> ((s, dir) => {
+      // text normalization gate: NFC (native expression) + control/zero-
+      // width strip + whitespace collapse + trim. The corpus is ASCII, so
+      // deterministic unicode dirt is injected in-query (both engines
+      // build the identical dirty string)
+      val dirty = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit(" café"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit("​  spaced\tout ")).otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("n_before"),
+          graft.text.TextQuality.normalize(col("dirty")).as("clean_text"))
+        .withColumn("n_after", length(col("clean_text")).cast("long"))
+    }),
+
     "q79_decontaminate" -> ((s, dir) => {
       // GPT-3-style benchmark decontamination at the PUBLISHED k=13: strip
       // every train span sharing a 13-gram with the benchmark split
@@ -2469,6 +2487,28 @@ object SparkEntry {
          |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(agg.clean_text, '') AS clean_text
          |FROM p LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
+    "q80_normalize" -> {
+      // same dirty-string construction, nfc_normalize (utf8proc) + the
+      // identical Java∩RE2 strip class + collapse + trim
+      val strip = "[\\x00-\\x08\\x0B-\\x1F\\x7F]|\\x{200B}|\\x{200C}|\\x{200D}|\\x{FEFF}"
+      s"""WITH d AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN chr(8203) || chr(7) || '  spaced' || chr(9) || 'out '
+         |         ELSE '' END AS dirty
+         |  FROM documents
+         |), n AS (
+         |  SELECT doc_id, CAST(len(dirty) AS BIGINT) AS n_before,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+         |      '$strip', '', 'g'), '\\s+', ' ', 'g')) AS clean_text
+         |  FROM d
+         |)
+         |SELECT doc_id, n_before, clean_text,
+         |  CAST(len(clean_text) AS BIGINT) AS n_after
+         |FROM n""".stripMargin
     },
 
     "q79_decontaminate" -> {

@@ -115,6 +115,26 @@ object TextQuality {
       lit(1.0) - size(array_distinct(grams)).cast("double") / cnt.cast("double"))
   }
 
+  /** The zero-width/control characters [[normalize]] strips — identical as
+    * a Java regex and an RE2 (DuckDB) regex: C0 controls except \t\n, DEL,
+    * zero-width space/joiner/non-joiner, BOM.
+    */
+  val StripClassRegex: String =
+    "[\\x00-\\x08\\x0B-\\x1F\\x7F]|\\x{200B}|\\x{200C}|\\x{200D}|\\x{FEFF}"
+
+  /** Text normalization — the first gate of every cleaning pipeline
+    * (ftfy-lite): Unicode NFC composition (native codegen expression,
+    * [[graft.functions.NfcNormalize]] — the JDK normalizer with an
+    * isNormalized fast path), control/zero-width stripping, whitespace-run
+    * collapse, trim. Pure per-row projection — normalizes at scan speed;
+    * each regex step is the same pattern in Java and RE2, so the full
+    * transform is oracle-verifiable byte-for-byte.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize(text), StripClassRegex, ""),
+      "\\s+", " "))
+
   /** Character-level Shannon entropy in bits/char — the bits-per-byte-style
     * quality gate (gibberish and repeated-char spam score low; natural text
     * sits ~3.5-4.5 bits/char): H = −Σ_c p_c·log₂ p_c over the doc's own
