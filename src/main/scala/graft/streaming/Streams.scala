@@ -71,6 +71,39 @@ object Streams {
     * caught by equality (use the batch pair join for hamming-tolerant
     * dedup).
     */
+  /** Streaming CURATION — the live-ingest twin of
+    * [[graft.text.Curation.curate]]: the same four pure content gates (the
+    * identical expressions, via the shared `withGates` — batch and stream
+    * can never disagree on gate arithmetic), then exact-dup admission via
+    * watermark-bounded digest dedup, then the deterministic split. Emits
+    * only ADMITTED rows (append mode can't retract, so there is no `keep`
+    * column to flip).
+    *
+    * Batch/stream semantic deltas, both inherent to streaming: the dup
+    * keeper is FIRST-ARRIVAL (batch `curate` keeps the min id), and two
+    * duplicates farther apart than `delay` both survive (bounded state).
+    * Everything else — gates, split assignment — is bit-identical, and
+    * the parity spec replays one corpus through both paths.
+    */
+  def curateStream(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      ts: String,
+      g: graft.text.Curation.Gates,
+      delay: String
+  ): DataFrame = {
+    val gated = graft.text.Curation.withGates(df, idCol, textCol, langCol, g)
+      .where(col("g_len") && col("g_rep") && col("g_ent") && col("g_lang"))
+      .drop("g_len", "g_rep", "g_ent", "g_lang")
+    dedupExactStream(gated.withColumn("__md5", md5(col(textCol))),
+      Seq("__md5"), ts, delay)
+      .drop("__md5")
+      .withColumn("split",
+        graft.text.Sampling.assignSplit(col(idCol), g.splits))
+  }
+
   def dedupSimhashStream(df: DataFrame, textCol: String, ts: String,
       delay: String, words: Int = 2): DataFrame = {
     val sigCols = (0 until words).map(w => s"__sig$w")

@@ -44,26 +44,39 @@ object Curation {
       langCol: String,
       g: Gates = Gates()
   ): DataFrame = {
-    val text = col(textCol)
-    val nt = size(TextHash.tokens(text)).cast("long")
-    val gLen = nt >= g.minTokens && nt <= g.maxTokens
-    val gRep = TextQuality.dupNgramFraction(text, g.dupN) < g.maxDupFraction
-    val gEnt = TextQuality.charEntropy(text) >= g.minEntropy
-    val gLang =
-      if (g.langs.isEmpty) lit(true)
-      else col(langCol).isin(g.langs.toSeq.sorted: _*)
     val keeper = min(col(idCol)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(md5(text)))
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol))))
     val keep = col("g_len") && col("g_rep") && col("g_ent") &&
       col("g_lang") && col("g_uniq")
-    df.withColumn("g_len", gLen)
-      .withColumn("g_rep", gRep)
-      .withColumn("g_ent", gEnt)
-      .withColumn("g_lang", gLang)
+    withGates(df, idCol, textCol, langCol, g)
       .withColumn("g_uniq", col(idCol) === keeper)
       .withColumn("keep", keep)
       .withColumn("split",
         when(keep, Sampling.assignSplit(col(idCol), g.splits))
           .otherwise(lit(null).cast("string")))
+  }
+
+  /** The four PURE per-row gates (g_len/g_rep/g_ent/g_lang) alone — no
+    * window, no state — shared by [[curate]] and the streaming twin
+    * ([[graft.streaming.Streams.curateStream]]), so batch and live paths
+    * can never disagree on gate arithmetic.
+    */
+  private[graft] def withGates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      g: Gates
+  ): DataFrame = {
+    val text = col(textCol)
+    val nt = size(TextHash.tokens(text)).cast("long")
+    val gLang =
+      if (g.langs.isEmpty) lit(true)
+      else col(langCol).isin(g.langs.toSeq.sorted: _*)
+    df.withColumn("g_len", nt >= g.minTokens && nt <= g.maxTokens)
+      .withColumn("g_rep",
+        TextQuality.dupNgramFraction(text, g.dupN) < g.maxDupFraction)
+      .withColumn("g_ent", TextQuality.charEntropy(text) >= g.minEntropy)
+      .withColumn("g_lang", gLang)
   }
 }

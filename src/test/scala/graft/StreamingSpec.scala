@@ -188,4 +188,41 @@ class StreamingSpec extends GraftSuite {
     assert(streamed == a3,
       s"stream admitted $streamed, batch fold admitted $a3 — must agree in-horizon")
   }
+
+  test("curation parity: streaming gates+dedup+split == batch curate keep set") {
+    import org.apache.spark.sql.functions._
+    import graft.text.Curation
+    val g = Curation.Gates(minTokens = 3, maxTokens = 100, dupN = 2,
+      maxDupFraction = 0.5, minEntropy = 2.0, langs = Set("en"))
+    val rows = Seq(
+      (1L, "en", "alpha beta gamma delta"),   // passes every gate
+      (2L, "en", "xx"),                       // fails length
+      (3L, "de", "omega psi chi phi"),        // fails language
+      (4L, "en", "aaaa aaaa aaaa aaaa aaaa"), // fails entropy + repetition
+      (5L, "en", "alpha beta gamma delta"),   // exact dup of doc 1
+      (6L, "en", "nova quasar pulsar star"))  // passes
+    val batch = Curation.curate(rows.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", g)
+    val batchKept = batch.where(col("keep")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(batchKept.keySet === Set(1L, 6L))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val out = Streams.curateStream(
+      input.toDF().toDF("doc_id", "lang", "text", "ts"),
+      "doc_id", "text", "lang", "ts", g, "1 hour")
+    val q = out.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    // id order = arrival order, so first-arrival == min-id on the dup pair
+    input.addData(rows.take(3).map(r => (r._1, r._2, r._3, ts(r._1 * 10))))
+    q.processAllAvailable()
+    input.addData(rows.drop(3).map(r => (r._1, r._2, r._3, ts(r._1 * 10))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(streamed === batchKept,
+      s"stream admitted $streamed, batch kept $batchKept — gates and split must agree")
+  }
 }
