@@ -56,8 +56,12 @@ object Bpe {
     * merge time). Stops early when no pair occurs twice.
     */
   def train(words: Seq[(String, Long)], numMerges: Int): Seq[(String, String, Long)] = {
+    // split by CODEPOINT (String.split("") would halve surrogate pairs,
+    // diverging from encode's codepoint-wise "." delimiting on non-BMP text)
+    def symbols(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var seqs: Array[(Array[String], Long)] =
-      words.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }.toArray
+      words.map { case (w, f) => (symbols(w), f) }.toArray
     val merges = Seq.newBuilder[(String, String, Long)]
     var round = 0
     var done = false

@@ -130,7 +130,9 @@ object Sampling {
       isTarget: Column,
       buckets: Int = 1024
   ): DataFrame = {
-    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"hash buckets must be in [2, 2^20] (the table collects to the driver " +
+        s"and broadcasts back), got $buckets")
     val toks = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
       explode(TextHash.lowerTokens(col(textCol))).as("__tok"))
       .select(col("__id"), col("__tgt"),
