@@ -90,6 +90,13 @@ object OracleSqlGen {
   def cosine(a: String, b: String, dim: Int = 64): String =
     s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
 
+  /** squared L2 distance of two dim-dim double lists, left-fold order —
+    * the op sequence of `Ann.l2Literal` / `PqKernels`' inner loop.
+    */
+  def l2(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
   /** LCG hyperplane component for plane p, 0-based dim expr `d`. */
   def planeComponent(p: Int, d: String): String =
     s"(CAST(((${p}*64 + $d)*1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"

@@ -898,6 +898,32 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
 
+    "q82_token_drift" -> ((s, dir) => {
+      // per-source distribution drift vs the corpus pool: KL divergence +
+      // chi-square over the (source × token) contingency table — the slice
+      // monitoring op that flags an off-distribution ingest source. One
+      // corpus pass; integer micro-unit sums (the q60 doctrine)
+      graft.text.Drift.tokenDrift(
+        Tables.load(s, dir, "documents"), "text", "source")
+    }),
+
+    "q81_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ ANN (the FAISS billion-vector shape, by_residual=false):
+      // coarse quantizer buckets the corpus, PQ compresses each corpus
+      // vector to m=4 codes, queries probe 2 lists and score candidates by
+      // ADC table lookup — the probe join carries codes, never vectors.
+      // iterations=0 sampling quantizers (exact integer LCG draws) keep
+      // every arithmetic step replayable in the oracle, as in q52.
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val corpus = e.select(col("vec_id").as("cid"), col("vec"))
+      val coarse = graft.ann.Ann.ivfTrain(corpus, nCentroids = 8, iterations = 0)
+      val pq = graft.ann.Ann.pqTrain(corpus, m = 4, nCodes = 8, iterations = 0)
+      graft.ann.Ann.ivfPqTopK(
+        e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec")),
+        corpus, coarse, pq, k = 3, nProbe = 2)
+    }),
+
     "q80_normalize" -> ((s, dir) => {
       // text normalization gate: NFC (native expression) + control/zero-
       // width strip + whitespace collapse + trim. The corpus is ASCII, so
@@ -2487,6 +2513,102 @@ object SparkEntry {
          |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(agg.clean_text, '') AS clean_text
          |FROM p LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
+    "q82_token_drift" -> {
+      // Drift.tokenDrift's exact arithmetic: per-token KL terms quantized
+      // at 1e-9, chi-square terms at 1e-6, integer-summed (order-free);
+      // identical double op sequences from the same exact integer counts
+      val tkExpr = OracleSqlGen.toks("lower(text)")
+      s"""WITH t AS (
+         |  SELECT source AS stratum, unnest($tkExpr) AS tok FROM documents
+         |), c AS (
+         |  SELECT stratum, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t GROUP BY stratum, tok
+         |), g AS (
+         |  SELECT tok, CAST(sum(cnt) AS BIGINT) AS cg FROM c GROUP BY tok
+         |), ns AS (
+         |  SELECT stratum, CAST(sum(cnt) AS BIGINT) AS nst FROM c GROUP BY stratum
+         |), tot AS (
+         |  SELECT CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS ng FROM c
+         |), terms AS (
+         |  SELECT c.stratum, ns.nst,
+         |    CAST(floor((CAST(c.cnt AS DOUBLE) / CAST(ns.nst AS DOUBLE))
+         |      * ln((CAST(c.cnt AS DOUBLE) * ng)
+         |            / (CAST(ns.nst AS DOUBLE) * CAST(g.cg AS DOUBLE)))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS klq,
+         |    CAST(floor(
+         |      (CAST(c.cnt AS DOUBLE)
+         |        - CAST(ns.nst AS DOUBLE) * CAST(g.cg AS DOUBLE) / ng)
+         |      * (CAST(c.cnt AS DOUBLE)
+         |        - CAST(ns.nst AS DOUBLE) * CAST(g.cg AS DOUBLE) / ng)
+         |      / (CAST(ns.nst AS DOUBLE) * CAST(g.cg AS DOUBLE) / ng)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS chiq
+         |  FROM c JOIN g USING (tok) JOIN ns USING (stratum), tot
+         |)
+         |SELECT stratum, max(nst) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(CAST(CAST(sum(klq) AS BIGINT) AS DOUBLE) / 1000000000.0, 6) AS kl,
+         |  round(CAST(CAST(sum(chiq) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS chi2
+         |FROM terms GROUP BY stratum""".stripMargin
+    },
+
+    "q81_ivfpq_topk" -> {
+      // mirrors ivfTrain(iterations=0) + pqTrain(iterations=0) + ivfPqTopK:
+      // the SAME 8 LCG-seeded rows serve as coarse centroids (cosine
+      // assignment, ties → smaller li; probes tie → larger li, as q52) and
+      // as the source rows of all four 16-dim sub-codebooks (L2 argmin
+      // encode, ties → smaller code); ADC = sum over j of subspace L2
+      // against the assigned codeword, rounded to 6 before ranking
+      val cosEC = OracleSqlGen.cosine("e.v", "c.v")
+      val cosQC = OracleSqlGen.cosine("q.v", "c.v")
+      val draw = "((vec_id % 2147483647) * 1103515245 + 12345) % 2147483648"
+      val l2Enc = OracleSqlGen.l2("list_slice(a.v, c.j*16+1, (c.j+1)*16)", "c.w", 16)
+      val l2Adc = OracleSqlGen.l2("list_slice(q.v, c.j*16+1, (c.j+1)*16)", "c.w", 16)
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ctr AS (
+         |  SELECT row_number() OVER (ORDER BY $draw, vec_id) - 1 AS li, v
+         |  FROM e QUALIFY li <= 7
+         |),
+         |assign AS (
+         |  SELECT cid, li FROM (
+         |    SELECT e.vec_id AS cid, c.li,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.li ASC) AS rn
+         |    FROM e, ctr c) WHERE rn = 1
+         |),
+         |cw AS (
+         |  SELECT CAST(j AS INTEGER) AS j, c.li AS code,
+         |    list_slice(c.v, CAST(j AS INTEGER)*16+1, (CAST(j AS INTEGER)+1)*16) AS w
+         |  FROM ctr c, unnest(range(4)) AS u(j)
+         |),
+         |enc AS (
+         |  SELECT cid, j, code FROM (
+         |    SELECT a.cid, c.j, c.code,
+         |      row_number() OVER (PARTITION BY a.cid, c.j
+         |        ORDER BY $l2Enc ASC, c.code ASC) AS rn
+         |    FROM (SELECT vec_id AS cid, v FROM e) a, cw c) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT qid, li, v FROM (
+         |    SELECT q.vec_id AS qid, c.li, q.v,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosQC DESC, c.li DESC) AS rn
+         |    FROM e q, ctr c WHERE q.vec_id < 20) WHERE rn <= 2
+         |),
+         |p AS (
+         |  SELECT q.qid, x.cid, round(sum($l2Adc), 6) AS adc
+         |  FROM probes q JOIN assign x ON q.li = x.li
+         |  JOIN enc n ON n.cid = x.cid
+         |  JOIN cw c ON c.j = n.j AND c.code = n.code
+         |  WHERE q.qid <> x.cid
+         |  GROUP BY q.qid, x.cid
+         |)
+         |SELECT qid, cid, adc, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc ASC, cid ASC) AS rank FROM p)
+         |WHERE rank <= 3""".stripMargin
     },
 
     "q80_normalize" -> {

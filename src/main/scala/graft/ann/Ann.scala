@@ -258,4 +258,163 @@ object Ann {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  // ----------------------------------------------------------------------
+  // Product quantization (the FAISS IVFPQ shape, by_residual=false)
+  // ----------------------------------------------------------------------
+
+  /** PQ codebook: `books(j)(i)` is codeword i of subspace j (dsub doubles).
+    * At 100 TB scale this is the memory story for ANN: a 64-dim float
+    * vector (256 B) compresses to m code bytes (m=4 → 64× smaller), so the
+    * inverted lists the probe join scans carry codes, not vectors, and the
+    * exact vectors never shuffle. Distances against codes are looked up
+    * from a per-query LUT — O(m) per candidate instead of O(dim).
+    */
+  final case class PqModel(books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def nCodes: Int = books(0).length
+    def dsub: Int = books(0)(0).length
+  }
+
+  /** Past this many total codewords (m·nCodes) the encode/LUT switch from
+    * literal subexpressions to the [[graft.functions.PqCodes]] /
+    * [[graft.functions.PqLut]] reference-object kernels — same constant-
+    * plan-size doctrine as [[literalMaxCentroids]]. Production PQ is
+    * m=8..64 × nCodes=256: always the kernel path.
+    */
+  private[graft] val literalMaxCodewords = 64
+
+  /** Deterministic sampling quantizer for PQ, sharing the IVF seeding rule:
+    * the codewords of every subspace come from the `nCodes` corpus rows
+    * with the smallest pmod(id·LCG) draw, sliced into m contiguous
+    * subvectors. iterations=0 is the exactly-oracle-able path (the SQL twin
+    * replays the same integer draws); iterations>0 runs per-subspace Lloyd
+    * refinement (one distributed pass per iteration, means collected
+    * driver-side — codebooks are m·nCodes·dsub doubles, driver-sized by
+    * construction).
+    */
+  def pqTrain(
+      corpus: DataFrame, // (cid, vec)
+      m: Int,
+      nCodes: Int,
+      iterations: Int = 0
+  ): PqModel = {
+    val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
+    val seeded = c
+      .withColumn("__draw", pmod(
+        pmod(col("cid"), lit(2147483647L)) * 1103515245L + 12345L, lit(1L << 31)))
+      .orderBy(col("__draw"), col("cid"))
+      .limit(nCodes)
+      .select(col("cv"))
+    val rows = seeded.collect().map(_.getSeq[Double](0).toArray)
+    require(rows.length == nCodes, s"corpus smaller than nCodes=$nCodes")
+    val dim = rows(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub)))
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      val enc = pqEncode(c, PqModel(books))
+      // per (subspace, code, pos) mean of the raw subvector component
+      val means = enc
+        .select(explode(sequence(lit(0), lit(m - 1))).as("__j"),
+          col("__codes"), col("cv"))
+        .select(col("__j"),
+          element_at(col("__codes"), col("__j") + 1).as("__code"),
+          posexplode(slice(col("cv"), col("__j") * dsub + 1, lit(dsub)))
+            .as(Seq("__pos", "__x")))
+        .groupBy(col("__j"), col("__code"), col("__pos"))
+        .agg(avg(col("__x")).as("__mn"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    PqModel(books)
+  }
+
+  /** Ascending-fold L2 distance between a sliced subvector and a literal
+    * codeword — the parity reference for the kernel's loop order.
+    */
+  private def l2Literal(sub: Column, cw: Array[Double]): Column =
+    aggregate(
+      zip_with(sub, array(cw.map(lit(_)): _*), (x, c) => (x - c) * (x - c)),
+      lit(0.0), _ + _)
+
+  /** Literal-expression PQ encode (small codebooks; parity reference). */
+  private[graft] def pqEncodeLiteral(df: DataFrame, model: PqModel): DataFrame = {
+    val codes = (0 until model.m).map { j =>
+      val sub = slice(col("cv"), j * model.dsub + 1, model.dsub)
+      // argmin distance, ties → smaller code index: least by (d asc, i asc)
+      val cands = model.books(j).zipWithIndex.map { case (cw, i) =>
+        struct(l2Literal(sub, cw).as("d"), lit(i).as("i"))
+      }
+      least(cands: _*).getField("i")
+    }
+    df.withColumn("__codes", array(codes: _*))
+  }
+
+  /** PQ encode: adds `__codes` (array<int>, one code per subspace) to a
+    * frame with a `cv` array<double> column. Pure projection — no shuffle,
+    * no join; kernel path keeps the plan constant-size at any codebook.
+    */
+  def pqEncode(df: DataFrame, model: PqModel): DataFrame =
+    if (model.m * model.nCodes <= literalMaxCodewords) pqEncodeLiteral(df, model)
+    else df.withColumn("__codes", graft.functions.PqCodes(col("cv"), model.books))
+
+  /** Literal flat ADC LUT (ascending (j, i) layout — entry j·nCodes+i). */
+  private[graft] def pqLutLiteral(qv: Column, model: PqModel): Column =
+    array((for {
+      j <- 0 until model.m
+      (cw, _) <- model.books(j).zipWithIndex
+    } yield l2Literal(slice(qv, j * model.dsub + 1, model.dsub), cw)): _*)
+
+  private def pqLut(qv: Column, model: PqModel): Column =
+    if (model.m * model.nCodes <= literalMaxCodewords) pqLutLiteral(qv, model)
+    else graft.functions.PqLut(qv, model.books)
+
+  /** IVF-PQ top-k: corpus rows are bucketed by coarse centroid and carry
+    * only their m PQ codes through the probe join; each query probes its
+    * `nProbe` nearest coarse lists and scores candidates by ADC — the sum
+    * over subspaces of LUT[j·nCodes + code_j], m lookups per candidate.
+    * Asymmetric distance on RAW vectors (FAISS `by_residual=false`): the
+    * query side is exact, only the corpus side is quantized — chosen over
+    * residual encoding because every arithmetic step stays replayable in
+    * ANSI SQL, which keeps the whole operator oracle-verifiable.
+    * Smaller ADC distance = nearer; ties → smaller cid.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, vec)
+      corpus: DataFrame, // (cid, vec)
+      coarse: IvfModel,
+      pq: PqModel,
+      k: Int,
+      nProbe: Int = 2,
+      roundTo: Int = 6
+  ): DataFrame = {
+    val c = pqEncode(
+      assignCentroid(
+        corpus.select(col("cid"), toDouble(col("vec")).as("cv")), coarse.centroids),
+      pq)
+      .select(col("cid"), col("__list"), col("__codes"))
+    val q = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
+      .withColumn("__lut", pqLut(col("qv"), pq))
+      .withColumn("__list", explode(probeLists(col("qv"), coarse.centroids, nProbe)))
+      .select(col("qid"), col("__lut"), col("__list"))
+    val adc = (0 until pq.m).map { j =>
+      element_at(col("__lut"),
+        (lit(j * pq.nCodes) + element_at(col("__codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = q.join(c, Seq("__list"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(adc, roundTo).as("adc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").asc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

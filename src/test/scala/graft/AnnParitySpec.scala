@@ -48,6 +48,73 @@ class AnnParitySpec extends GraftSuite {
     assert(p.length < 20000, s"plan is ${p.length} chars — centroids leaked into the plan")
   }
 
+  test("PQ parity: kernel codes/LUT == literal expressions above the codeword ceiling") {
+    // m=4 × nCodes=32 = 128 codewords > literalMaxCodewords → kernel path;
+    // force the literal path on the same model and demand bit-identity
+    val corpus = vecs.select(col("cid"), col("cv").as("vec"))
+    val pq = Ann.pqTrain(corpus, m = 4, nCodes = 32, iterations = 0)
+    assert(pq.m * pq.nCodes > Ann.literalMaxCodewords)
+    val litCodes = Ann.pqEncodeLiteral(vecs, pq)
+      .select(col("cid"), col("__codes").as("lit"))
+    val natCodes = vecs
+      .withColumn("nat", graft.functions.PqCodes(col("cv"), pq.books))
+      .select(col("cid"), col("nat"))
+    assert(litCodes.join(natCodes, Seq("cid"))
+      .where(col("lit") =!= col("nat")).count() == 0, "encode paths diverge")
+    val luts = vecs.where(col("cid") < 50).select(col("cid"),
+      Ann.pqLutLiteral(col("cv"), pq).as("lit"),
+      graft.functions.PqLut(col("cv"), pq.books).as("nat"))
+    assert(luts.where(col("lit") =!= col("nat")).count() == 0, "LUT paths diverge")
+  }
+
+  test("PQ encode plan: pure projection, codebook not inlined as literals") {
+    val corpus = vecs.select(col("cid"), col("cv").as("vec"))
+    val pq = Ann.pqTrain(corpus, m = 4, nCodes = 32, iterations = 0)
+    val df = vecs.withColumn("__codes", graft.functions.PqCodes(col("cv"), pq.books))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"))
+    assert(p.length < 20000, s"plan is ${p.length} chars — codebook leaked into the plan")
+  }
+
+  test("PQ self-encoding: codebook source rows quantize to themselves with zero ADC error") {
+    // the 8 LCG-seeded rows ARE the codewords, so each encodes to the code
+    // whose codeword equals its own subvector and its ADC distance to
+    // itself is exactly 0 in every subspace
+    val corpus = vecs.select(col("cid"), col("cv").as("vec"))
+    val pq = Ann.pqTrain(corpus, m = 4, nCodes = 8, iterations = 0)
+    val seededIds = vecs
+      .withColumn("__draw", pmod(
+        pmod(col("cid"), lit(2147483647L)) * 1103515245L + 12345L, lit(1L << 31)))
+      .orderBy(col("__draw"), col("cid")).limit(8)
+      .select(col("cid"), col("cv"))
+    val enc = Ann.pqEncode(seededIds, pq)
+    val zeroDist = enc.select(col("cid"), col("cv"), col("__codes"))
+      .withColumn("lut", Ann.pqLutLiteral(col("cv"), pq))
+      .withColumn("adc", (0 until 4).map(j =>
+        element_at(col("lut"),
+          (lit(j * 8) + element_at(col("__codes"), j + 1) + 1).cast("int")))
+        .reduce(_ + _))
+    assert(zeroDist.where(col("adc") =!= 0.0).count() == 0,
+      "a codebook source row must have zero quantization error")
+  }
+
+  test("IVF-PQ refinement: iterations=1 does not increase total quantization error") {
+    val corpus = vecs.select(col("cid"), col("cv").as("vec"))
+    val pq0 = Ann.pqTrain(corpus, m = 4, nCodes = 8, iterations = 0)
+    val pq1 = Ann.pqTrain(corpus, m = 4, nCodes = 8, iterations = 1)
+    def err(pq: Ann.PqModel): Double = {
+      Ann.pqEncode(vecs, pq)
+        .withColumn("lut", Ann.pqLutLiteral(col("cv"), pq))
+        .withColumn("adc", (0 until pq.m).map(j =>
+          element_at(col("lut"),
+            (lit(j * pq.nCodes) + element_at(col("__codes"), j + 1) + 1).cast("int")))
+          .reduce(_ + _))
+        .agg(sum(col("adc"))).collect()(0).getDouble(0)
+    }
+    val (e0, e1) = (err(pq0), err(pq1))
+    assert(e1 <= e0 * (1.0 + 1e-9), s"Lloyd step worsened PQ error: $e0 -> $e1")
+  }
+
   test("end-to-end IVF above the literal ceiling trains and probes") {
     val corpus = vecs
     val queries = vecs.where(col("cid") < 10)

@@ -327,6 +327,40 @@ class Round4Spec extends GraftSuite {
       _.lineage.exists(_.contains("dedup-index"))))
   }
 
+  test("tokenDrift: identical slices score exactly zero KL; planted skew is positive") {
+    // two strata with the SAME token distribution: p_s == p_pool for every
+    // token, every KL term is ln(1)=0, quantized sum is EXACTLY 0
+    val same = Seq(
+      (1L, "a", "a a b c"), (2L, "a", "b c a a"),
+      (3L, "b", "a a b c"), (4L, "b", "c b a a")).toDF("id", "src", "text")
+    val outSame = graft.text.Drift.tokenDrift(same, "text", "src")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(outSame("a") == ((8L, 0.0, 0.0)) && outSame("b") == ((8L, 0.0, 0.0)))
+
+    // a stratum flooded with one token drifts: kl > 0, chi2 > 0, and the
+    // clean stratum's drift is strictly smaller
+    val skew = Seq(
+      (1L, "clean", "a b c d e f g h"),
+      (2L, "clean", "a b c d e f g h"),
+      (3L, "spam", "z z z z z z z a")).toDF("id", "src", "text")
+    val outSkew = graft.text.Drift.tokenDrift(skew, "text", "src")
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(outSkew("spam")._1 > outSkew("clean")._1 && outSkew("spam")._1 > 0.1)
+    assert(outSkew("spam")._2 > 0.0)
+
+    // driver replay of the exact KL arithmetic for the spam stratum
+    val counts = Map("z" -> 7L, "a" -> 1L) // spam slice
+    val glob = Map("z" -> 7L, "a" -> 3L, "b" -> 2L, "c" -> 2L, "d" -> 2L,
+      "e" -> 2L, "f" -> 2L, "g" -> 2L, "h" -> 2L)
+    val nsD = 8.0; val ngD = 24.0
+    val klq = counts.map { case (t, c) =>
+      math.floor((c / nsD) * math.log((c * ngD) / (nsD * glob(t))) * 1e9 + 0.5).toLong
+    }.sum
+    val expect = BigDecimal(klq.toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(outSkew("spam")._1 == expect, s"${outSkew("spam")._1} != $expect")
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
