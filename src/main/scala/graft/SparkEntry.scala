@@ -898,6 +898,30 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
 
+    "q84_bloom_incremental" -> ((s, dir) => {
+      // bloom-prefiltered daily-ingest dedup: corpus digests + shingles
+      // summarized by two Bloom sketches; batch rows only reach the exact
+      // joins when a sketch says "maybe" — identical admitted set to q62's
+      // machinery (bloom negatives are guaranteed novel), different split
+      val docs = Tables.load(s, dir, "documents")
+      graft.text.Dedup.dedupIncrementalBloom(
+        batch = docs.where(pmod(col("doc_id"), lit(7L)) === 0),
+        corpus = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0),
+        "doc_id", "text", blockKey = col("lang"), threshold = 0.7)
+    }),
+
+    "q83_shard_balanced" -> ((s, dir) => {
+      // token-balanced output sharding: serpentine deal within hash-bucket
+      // balancing domains — near-equal shard token totals with no global
+      // sort; the writer-side layout op for training shards
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+      graft.text.Packing.shardBalanced(docs, "doc_id", "n_tokens",
+          shards = 4, buckets = 8)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
+    }),
+
     "q82_token_drift" -> ((s, dir) => {
       // per-source distribution drift vs the corpus pool: KL divergence +
       // chi-square over the (source × token) contingency table — the slice
@@ -977,6 +1001,57 @@ object SparkEntry {
     "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
     "r" -> "o", "ro" -> "w", "s" -> "c", "sc" -> "a", "sca" -> "n",
     "e" -> "r", "o" -> "r", "i" -> "n", "s" -> "t")
+
+  /** Brute-force twin of the incremental-dedup operators (q62/q84, oracle
+    * scale): batch keep-list via the q47 recursive-CTE cluster pattern,
+    * then anti-join corpus exact digests and corpus near matches. The
+    * batch is `doc_id % mod = 0`; the bloom variant admits the IDENTICAL
+    * set (bloom negatives are guaranteed novel, positives exactly
+    * verified), so both operators share this SQL.
+    */
+  private def incrementalDedupOracleSql(mod: Long): String = {
+    val sh = OracleSqlGen.shingleHashes("text", 3)
+    s"""WITH RECURSIVE
+       |b AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % $mod = 0),
+       |c AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % $mod <> 0),
+       |bs AS (SELECT doc_id, lang, $sh AS sh FROM b),
+       |cs AS (SELECT doc_id, lang, $sh AS sh FROM c),
+       |near AS (
+       |  SELECT a.doc_id AS id_a, x.doc_id AS id_b
+       |  FROM bs a JOIN bs x ON a.lang = x.lang AND a.doc_id < x.doc_id
+       |  WHERE len(a.sh) > 0 AND len(x.sh) > 0
+       |    AND ${OracleSqlGen.jaccard("a.sh", "x.sh")} >= 0.7
+       |), ex AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM b
+       |), allp AS (
+       |  SELECT * FROM near
+       |  UNION
+       |  SELECT keeper AS id_a, doc_id AS id_b FROM ex WHERE doc_id <> keeper
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM allp
+       |  UNION SELECT id_b, id_a FROM allp
+       |), reach AS (
+       |  SELECT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id
+       |), cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+       |kept AS (
+       |  SELECT doc_id FROM b
+       |  WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> c)
+       |), exhit AS (
+       |  SELECT b.doc_id FROM b
+       |  JOIN (SELECT DISTINCT md5(text) AS m FROM c) cm ON md5(b.text) = cm.m
+       |), nearhit AS (
+       |  SELECT DISTINCT bs.doc_id
+       |  FROM bs JOIN cs ON bs.lang = cs.lang
+       |  WHERE len(bs.sh) > 0 AND len(cs.sh) > 0
+       |    AND ${OracleSqlGen.jaccard("bs.sh", "cs.sh")} >= 0.7
+       |)
+       |SELECT doc_id FROM kept
+       |WHERE doc_id NOT IN (SELECT doc_id FROM exhit)
+       |  AND doc_id NOT IN (SELECT doc_id FROM nearhit)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2286,52 +2361,9 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
 
-    "q62_incremental_dedup" -> {
-      // brute-force twin of the composed operator (oracle scale): batch
-      // keep-list via the q47 recursive-CTE cluster pattern, then anti-join
-      // corpus exact digests and corpus near matches
-      val sh = OracleSqlGen.shingleHashes("text", 3)
-      s"""WITH RECURSIVE
-         |b AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
-         |c AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
-         |bs AS (SELECT doc_id, lang, $sh AS sh FROM b),
-         |cs AS (SELECT doc_id, lang, $sh AS sh FROM c),
-         |near AS (
-         |  SELECT a.doc_id AS id_a, x.doc_id AS id_b
-         |  FROM bs a JOIN bs x ON a.lang = x.lang AND a.doc_id < x.doc_id
-         |  WHERE len(a.sh) > 0 AND len(x.sh) > 0
-         |    AND ${OracleSqlGen.jaccard("a.sh", "x.sh")} >= 0.7
-         |), ex AS (
-         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-         |  FROM b
-         |), allp AS (
-         |  SELECT * FROM near
-         |  UNION
-         |  SELECT keeper AS id_a, doc_id AS id_b FROM ex WHERE doc_id <> keeper
-         |), edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM allp
-         |  UNION SELECT id_b, id_a FROM allp
-         |), reach AS (
-         |  SELECT a AS id, a AS r FROM edges
-         |  UNION
-         |  SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id
-         |), cl AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
-         |kept AS (
-         |  SELECT doc_id FROM b
-         |  WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> c)
-         |), exhit AS (
-         |  SELECT b.doc_id FROM b
-         |  JOIN (SELECT DISTINCT md5(text) AS m FROM c) cm ON md5(b.text) = cm.m
-         |), nearhit AS (
-         |  SELECT DISTINCT bs.doc_id
-         |  FROM bs JOIN cs ON bs.lang = cs.lang
-         |  WHERE len(bs.sh) > 0 AND len(cs.sh) > 0
-         |    AND ${OracleSqlGen.jaccard("bs.sh", "cs.sh")} >= 0.7
-         |)
-         |SELECT doc_id FROM kept
-         |WHERE doc_id NOT IN (SELECT doc_id FROM exhit)
-         |  AND doc_id NOT IN (SELECT doc_id FROM nearhit)""".stripMargin
-    },
+    "q62_incremental_dedup" -> incrementalDedupOracleSql(5L),
+
+    "q84_bloom_incremental" -> incrementalDedupOracleSql(7L),
 
     "q41_time_rolling" ->
       """SELECT event_id, user_id,
@@ -2513,6 +2545,28 @@ object SparkEntry {
          |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(agg.clean_text, '') AS clean_text
          |FROM p LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
+    "q83_shard_balanced" -> {
+      // shardBalanced's exact rule: polyHash bucket, per-bucket rank by
+      // (n_tokens DESC, doc_id ASC), serpentine shard = pos on even passes,
+      // shards-1-pos on odd
+      val idStr = "CAST(doc_id AS VARCHAR)"
+      val ntok = s"CAST(len(${OracleSqlGen.toks("text")}) AS BIGINT)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $ntok AS n_tokens,
+         |    ${OracleSqlGen.poly(idStr)} % 8 AS bucket
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, n_tokens, bucket,
+         |    CAST(row_number() OVER (PARTITION BY bucket
+         |      ORDER BY n_tokens DESC, doc_id ASC) - 1 AS BIGINT) AS rk
+         |  FROM d
+         |)
+         |SELECT doc_id, n_tokens, bucket,
+         |  CAST(CASE WHEN CAST(floor(rk / 4.0) AS BIGINT) % 2 = 0 THEN rk % 4
+         |       ELSE 3 - (rk % 4) END AS BIGINT) AS shard
+         |FROM r""".stripMargin
     },
 
     "q82_token_drift" -> {

@@ -141,4 +141,48 @@ object Packing {
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
   }
+
+  /** Token-balanced output sharding — the writer-side layout op: assign
+    * every document to one of `shards` output shards so the shards carry
+    * near-equal TOKEN totals (not just row counts; at 100 TB a row-count
+    * split leaves 5-10× size skew between shards because document length is
+    * heavy-tailed, and downstream training readers stall on the fat shard).
+    *
+    * Scale shape: a single global size-ordered assignment would serialize
+    * the corpus through one sort partition (the global-row_number
+    * anti-pattern). Instead documents hash into `buckets` independent
+    * balancing domains (the [[packChunked]] doctrine); within each bucket a
+    * per-bucket window ranks documents by token count descending and deals
+    * them over the shards in SERPENTINE (boustrophedon) order — pass p
+    * assigns left-to-right when even, right-to-left when odd, the classical
+    * LPT-lite that bounds each bucket's shard imbalance by one maximum
+    * document. Summed over buckets the imbalance stays ≤ buckets·max_doc —
+    * negligible against shard totals of corpus/shards.
+    *
+    * Fully deterministic (hash + window, no RNG, no partition index) and
+    * ANSI-SQL replayable. Returns the input plus (bucket, shard). The sink
+    * shape is `out.repartition(col("shard")).write.partitionBy("shard")` —
+    * one balanced directory per shard.
+    */
+  def shardBalanced(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shards: Int,
+      buckets: Int
+  ): DataFrame = {
+    require(shards >= 2, "need at least two shards")
+    val id = col(idCol)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(tokensCol).desc, id.asc)
+    val rk = col("__rk")
+    val pass = floor(rk / shards)
+    val pos = pmod(rk, lit(shards.toLong))
+    df.withColumn("bucket",
+        pmod(TextHash.polyHash(id.cast("string")), lit(buckets.toLong)))
+      .withColumn("__rk", (row_number().over(w) - 1).cast("long"))
+      .withColumn("shard",
+        when(pmod(pass, lit(2L)) === 0, pos).otherwise(lit(shards.toLong) - 1 - pos))
+      .drop("__rk")
+  }
 }

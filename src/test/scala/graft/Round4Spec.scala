@@ -361,6 +361,65 @@ class Round4Spec extends GraftSuite {
     assert(outSkew("spam")._1 == expect, s"${outSkew("spam")._1} != $expect")
   }
 
+  test("shardBalanced: serpentine truth table, balance bound, parallelism-invariant") {
+    // single bucket, sizes 8..1 over 4 shards: serpentine yields exactly
+    // equal totals (9 each) — the hand truth table
+    val tiny = Seq((1L, 8L), (2L, 7L), (3L, 6L), (4L, 5L),
+      (5L, 4L), (6L, 3L), (7L, 2L), (8L, 1L)).toDF("doc_id", "n")
+    val t = graft.text.Packing.shardBalanced(tiny, "doc_id", "n",
+        shards = 4, buckets = 1)
+      .groupBy(col("shard")).agg(sum(col("n")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(0L -> 9L, 1L -> 9L, 2L -> 9L, 3L -> 9L), s"got $t")
+
+    // real corpus: shard token-total spread bounded by buckets · max doc
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .withColumn("n_tokens",
+        size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+    val out = graft.text.Packing.shardBalanced(docs, "doc_id", "n_tokens",
+      shards = 4, buckets = 8)
+    val totals = out.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(_.getLong(1))
+    val maxDoc = docs.agg(max(col("n_tokens"))).head().getLong(0)
+    assert(totals.length == 4)
+    assert(totals.max - totals.min <= 8 * maxDoc,
+      s"imbalance ${totals.max - totals.min} > bound ${8 * maxDoc}")
+
+    // same assignment at different parallelism (hash+window, no partition
+    // index anywhere)
+    val a = out.select(col("doc_id"), col("shard"))
+    val b = graft.text.Packing.shardBalanced(docs.repartition(3), "doc_id",
+      "n_tokens", shards = 4, buckets = 8).select(col("doc_id"), col("shard"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("dedupIncrementalBloom: admitted set identical to dedupIncremental; prefilter engages") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    val batch = docs.where(pmod(col("doc_id"), lit(7L)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0)
+    graft.text.Dedup.withCache {
+      val plain = graft.text.Dedup.dedupIncremental(
+        batch, corpus, "doc_id", "text", col("lang"), threshold = 0.7)
+      val bloom = graft.text.Dedup.dedupIncrementalBloom(
+        batch, corpus, "doc_id", "text", col("lang"), threshold = 0.7)
+      assert(plain.except(bloom).count() == 0 && bloom.except(plain).count() == 0,
+        "bloom variant must admit the identical set")
+    }
+    // the digest sketch actually prunes: most batch docs are novel text,
+    // so the exact-hit residual join input must be far below |batch|
+    graft.text.Dedup.withCache {
+      val cp = graft.text.Dedup.prepDocs(corpus, "doc_id", "text", col("lang"), 3)
+      val bp = graft.text.Dedup.prepDocs(batch, "doc_id", "text", col("lang"), 3)
+      val digestBloom = graft.text.Dedup.bloomOf(
+        cp.select(xxhash64(col("__md5")).as("k")), "k", 0.03)
+      val maybes = bp.where(graft.text.Dedup.mightContain(
+        digestBloom, xxhash64(col("__md5")))).count()
+      val total = bp.count()
+      assert(maybes < total / 2,
+        s"digest bloom passed $maybes of $total batch rows — prefilter not engaging")
+    }
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
