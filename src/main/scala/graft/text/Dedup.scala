@@ -30,7 +30,7 @@ object Dedup {
     * instead of waiting for the GC-driven ContextCleaner.
     */
   private val cachedPreps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-  private def materialize(df: DataFrame): DataFrame = synchronized {
+  private[graft] def materialize(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // STRONG references, deliberately: Dataset.persist registers the plan
     // in the session CacheManager, which itself holds it strongly — a

@@ -40,8 +40,14 @@ object Drift {
   def tokenDrift(df: DataFrame, textCol: String, stratumCol: String): DataFrame = {
     val toks = df.select(col(stratumCol).as("stratum"),
       explode(TextHash.lowerTokens(col(textCol))).as("__tok"))
-    val counts = toks.groupBy(col("stratum"), col("__tok"))
-      .agg(count(lit(1)).as("__c"))
+    // the count table feeds FOUR consumers (per-token join, global counts,
+    // stratum totals, the grand total) — persist it once via the dedup
+    // suite's tracked cache so the corpus is scanned and exploded exactly
+    // once; callers release with Dedup.releaseCache()/withCache like every
+    // other prep frame (Verify/Bench already do)
+    val counts = Dedup.materialize(
+      toks.groupBy(col("stratum"), col("__tok"))
+        .agg(count(lit(1)).as("__c")))
     val globals = counts.groupBy(col("__tok")).agg(sum(col("__c")).as("__cg"))
     val strata = counts.groupBy(col("stratum")).agg(sum(col("__c")).as("__ns"))
     val ng = counts.agg(sum(col("__c"))).head().getLong(0)

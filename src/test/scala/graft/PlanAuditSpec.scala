@@ -170,4 +170,56 @@ class PlanAuditSpec extends GraftSuite {
       s"bucket-lambda join must broadcast:\n$p")
     assert(p.contains("partial_"), s"doc sums must partial-agg:\n$p")
   }
+
+  test("IVF-PQ: probe join stays an equi hash join; no cartesian anywhere") {
+    val p = plan(SparkEntry.queries("q81_ivfpq_topk")(spark, sfSmall))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ must never cross-join:\n$p")
+    assert(p.contains("Join"), s"expected the list-id probe join:\n$p")
+  }
+
+  test("token drift: one corpus explode, partial aggs at every level, stratum totals broadcast") {
+    val df = SparkEntry.queries("q82_token_drift")(spark, sfSmall)
+    val p = plan(df)
+    // the plan STRING reprints the cached count table's build plan (with its
+    // one Generate) per consumer — walk the tree instead: InMemoryTableScan
+    // is a LEAF, so any Generate collected here would be a second, uncached
+    // corpus explode
+    val liveGenerates = df.queryExecution.executedPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.size
+    assert(liveGenerates === 0,
+      s"all token counts must read the one cached explode:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"count table must be served from cache:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"count table must partial-agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum totals must broadcast back:\n$p")
+  }
+
+  test("shard balancing: no global sort — the only window partitions by bucket") {
+    val df = SparkEntry.queries("q83_shard_balanced")(spark, sfSmall)
+    val p = plan(df)
+    // a single-partition Exchange (global row_number) would appear as
+    // Exchange SinglePartition; the balancer must only hash-partition
+    assert(!p.contains("SinglePartition"),
+      s"global-order anti-pattern in shard balancer:\n$p")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"rank window must partition by bucket:\n$p")
+  }
+
+  test("bloom incremental: might_contain prefilters batch before every corpus join") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    graft.text.Dedup.withCache {
+      val out = graft.text.Dedup.dedupIncrementalBloom(
+        docs.where(pmod(col("doc_id"), lit(7L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(7L)) =!= 0),
+        "doc_id", "text", col("lang"), threshold = 0.7)
+      val p = plan(out)
+      assert(p.contains("might_contain"),
+        s"bloom prefilter missing from the plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    }
+  }
 }
