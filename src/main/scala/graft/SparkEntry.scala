@@ -898,6 +898,61 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
 
+    "q87_oov_rate" -> ((s, dir) =>
+      // vocabulary-coverage diagnostic: per-doc OOV rate against the
+      // corpus's own top-500 words (one bounded-vocab aggregation,
+      // broadcast back — no token shuffle)
+      graft.text.Retrieval.oovRate(
+        Tables.load(s, dir, "documents"), "doc_id", "text", vocabSize = 500)),
+
+    "q86_url_curation" -> ((s, dir) => {
+      // URL canonicalization + per-domain quota: the source-diversity gate.
+      // The corpus has no URL column, so a messy URL is derived
+      // deterministically per row (case noise, default port, tracking
+      // params, fragment — both engines build the identical string)
+      val id = col("doc_id")
+      val url0 = concat(
+        when(pmod(id, lit(3L)) === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(pmod(id, lit(2L)) === 0, lit("WWW.")).otherwise(lit("www.")),
+        col("source"), pmod(id, lit(8L)).cast("string"), lit(".COM"),
+        when(pmod(id, lit(5L)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("source"), lit("/"), pmod(id, lit(7L)).cast("string"),
+        when(pmod(id, lit(6L)) === 0,
+          concat(lit("?utm_medium=email&id="), id.cast("string")))
+          .otherwise(concat(lit("?id="), id.cast("string"),
+            when(pmod(id, lit(2L)) === 0,
+              lit("&utm_source=feed&utm_campaign=x")).otherwise(lit("")))),
+        when(pmod(id, lit(4L)) === 0, lit("#frag")).otherwise(lit("")))
+      val withUrl = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.text.Web.canonicalize(url0).as("url"))
+      graft.text.Web.perDomainCap(withUrl, "url", cap = 8,
+          order = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("url"), col("domain"),
+          col("domain_rank").cast("long").as("domain_rank"))
+    }),
+
+    "q85_strip_markup" -> ((s, dir) => {
+      // markup-strip gate: the corpus is plain text, so HTML dirt is
+      // injected in-query (q80's pattern — both engines build the same
+      // dirty string; the script body's bare `<` proves block semantics)
+      val dirty = concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("<!DOCTYPE html><html><head><STYLE>body{color:red}</STYLE>" +
+            "<script src=\"a.js\">var i=1; if(i<2){i=3;}</script></head>" +
+            "<body><p class=\"intro\">")).otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit(" &amp;amp; x &lt;tag&gt;&nbsp;&quot;q&#39;</p>" +
+            "<!-- hidden --> tail</body></html>")).otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          graft.text.TextQuality.stripMarkup(col("dirty")).as("clean_text"))
+        .withColumn("n_after", length(col("clean_text")).cast("long"))
+    }),
+
     "q84_bloom_incremental" -> ((s, dir) => {
       // bloom-prefiltered daily-ingest dedup: corpus digests + shingles
       // summarized by two Bloom sketches; batch rows only reach the exact
@@ -2364,6 +2419,126 @@ object SparkEntry {
     "q62_incremental_dedup" -> incrementalDedupOracleSql(5L),
 
     "q84_bloom_incremental" -> incrementalDedupOracleSql(7L),
+
+    "q87_oov_rate" -> {
+      // same top-500 vocab (count desc, token asc — total order) and the
+      // same per-doc integer sums; sums CAST to BIGINT (DuckDB sums
+      // integers into HUGEINT — the q05 lesson)
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${OracleSqlGen.toks("lower(text)")}) AS tok
+         |  FROM documents
+         |), counts AS (
+         |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+         |), vocab AS (
+         |  SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 500
+         |), sc AS (
+         |  SELECT tk.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
+         |  GROUP BY tk.doc_id
+         |)
+         |SELECT d.doc_id, sc.n_tokens, sc.n_oov,
+         |  round(sc.n_oov / CAST(sc.n_tokens AS DOUBLE), 6) AS oov_rate
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+    },
+
+    "q86_url_curation" -> {
+      // the same messy-URL construction, then Web.canonicalize spelled in
+      // RE2 (replacement backrefs are \\1 in RE2 vs $1 in Java — pattern
+      // syntax is the shared Java∩RE2 subset)
+      s"""WITH u0 AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+         |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END
+         |    || source || CAST(doc_id % 8 AS VARCHAR) || '.COM'
+         |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+         |    || '/' || source || '/' || CAST(doc_id % 7 AS VARCHAR)
+         |    || CASE WHEN doc_id % 6 = 0
+         |         THEN '?utm_medium=email&id=' || CAST(doc_id AS VARCHAR)
+         |         ELSE '?id=' || CAST(doc_id AS VARCHAR)
+         |           || CASE WHEN doc_id % 2 = 0
+         |                THEN '&utm_source=feed&utm_campaign=x' ELSE '' END
+         |       END
+         |    || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url0
+         |  FROM documents
+         |), lo AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_replace(url0, '(?s)#.*', '') AS nofrag,
+         |    regexp_extract(regexp_replace(url0, '(?s)#.*', ''),
+         |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre
+         |  FROM u0
+         |), cn AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(
+         |              regexp_replace(
+         |                lower(pre) || substr(nofrag, len(pre) + 1),
+         |                '(?s)^(https://[^:/?#]+):443([/?#].*)?$$', '\\1\\2'),
+         |              '(?s)^(http://[^:/?#]+):80([/?#].*)?$$', '\\1\\2'),
+         |            '&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+         |          '\\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+         |        '\\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$$', ''),
+         |      '\\?$$', '') AS url
+         |  FROM lo
+         |), dm AS (
+         |  SELECT doc_id, n_chars, url,
+         |    regexp_replace(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '') AS h
+         |  FROM cn
+         |), dd AS (
+         |  SELECT doc_id, n_chars, url,
+         |    CASE WHEN regexp_extract(lower(h), '([^.]+\\.[^.]+)$$', 1) = ''
+         |         THEN lower(h)
+         |         ELSE regexp_extract(lower(h), '([^.]+\\.[^.]+)$$', 1) END AS domain
+         |  FROM dm
+         |), rk AS (
+         |  SELECT doc_id, url, domain,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS domain_rank
+         |  FROM dd
+         |)
+         |SELECT doc_id, url, domain, domain_rank FROM rk
+         |WHERE domain_rank <= 8""".stripMargin
+    },
+
+    "q85_strip_markup" -> {
+      // identical dirty-string construction and the identical ordered
+      // strip/decode chain (replace() is the same single-pass left-to-right
+      // literal substitution in both engines, so &amp;amp; -> &amp; on both)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN
+         |      '<!DOCTYPE html><html><head><STYLE>body{color:red}</STYLE>'
+         |      || '<script src="a.js">var i=1; if(i<2){i=3;}</script></head>'
+         |      || '<body><p class="intro">' ELSE '' END
+         |    || text
+         |    || CASE WHEN doc_id % 3 = 0 THEN
+         |      ' &amp;amp; x &lt;tag&gt;&nbsp;&quot;q&#39;</p>'
+         |      || '<!-- hidden --> tail</body></html>' ELSE '' END AS dirty
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |          dirty,
+         |          '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+         |          '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |          '(?s)<!--.*?-->', ' ', 'g'),
+         |          '(?s)<[/!]?[a-zA-Z][^>]*>', ' ', 'g'),
+         |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS clean_text
+         |  FROM d
+         |)
+         |SELECT doc_id, clean_text,
+         |  CAST(len(clean_text) AS BIGINT) AS n_after
+         |FROM c""".stripMargin
+    },
 
     "q41_time_rolling" ->
       """SELECT event_id, user_id,

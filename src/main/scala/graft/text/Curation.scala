@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Gate thresholds; defaults mirror common open-corpus filter configs. */
+  /** Gate thresholds; defaults mirror common open-corpus filter configs.
+    * With `stripMarkup`/`normalize` on, the corresponding pre-clean
+    * ([[TextQuality.stripMarkup]], then [[TextQuality.normalize]]) runs
+    * FIRST, every gate (and the exact-dup digest) evaluates the cleaned
+    * text, and the output carries it as `clean_text` — raw-HTML crawls and
+    * pre-extracted corpora then flow through one identical gate stack.
+    */
   final case class Gates(
       minTokens: Long = 5,
       maxTokens: Long = 100000,
@@ -30,7 +36,9 @@ object Curation {
       minEntropy: Double = 2.0,
       langs: Set[String] = Set.empty, // empty = accept all languages
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      stripMarkup: Boolean = false,
+      normalize: Boolean = false)
 
   /** Input plus g_len/g_rep/g_ent/g_lang/g_uniq booleans, `keep`, and
     * `split` (null for dropped rows). Gate comparisons run on the RAW
@@ -44,8 +52,12 @@ object Curation {
       langCol: String,
       g: Gates = Gates()
   ): DataFrame = {
+    // the dup keeper digests the SAME text the gates saw: a crawl where
+    // two pages differ only in boilerplate markup IS a duplicate once on
+    val digestText =
+      if (g.stripMarkup || g.normalize) col("clean_text") else col(textCol)
     val keeper = min(col(idCol)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol))))
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(digestText)))
     val keep = col("g_len") && col("g_rep") && col("g_ent") &&
       col("g_lang") && col("g_uniq")
     withGates(df, idCol, textCol, langCol, g)
@@ -68,12 +80,19 @@ object Curation {
       langCol: String,
       g: Gates
   ): DataFrame = {
-    val text = col(textCol)
+    val cleaned0 = col(textCol)
+    val cleaned1 =
+      if (g.stripMarkup) TextQuality.stripMarkup(cleaned0) else cleaned0
+    val cleaned2 =
+      if (g.normalize) TextQuality.normalize(cleaned1) else cleaned1
+    val preClean = g.stripMarkup || g.normalize
+    val base = if (preClean) df.withColumn("clean_text", cleaned2) else df
+    val text = if (preClean) col("clean_text") else col(textCol)
     val nt = size(TextHash.tokens(text)).cast("long")
     val gLang =
       if (g.langs.isEmpty) lit(true)
       else col(langCol).isin(g.langs.toSeq.sorted: _*)
-    df.withColumn("g_len", nt >= g.minTokens && nt <= g.maxTokens)
+    base.withColumn("g_len", nt >= g.minTokens && nt <= g.maxTokens)
       .withColumn("g_rep",
         TextQuality.dupNgramFraction(text, g.dupN) < g.maxDupFraction)
       .withColumn("g_ent", TextQuality.charEntropy(text) >= g.minEntropy)

@@ -223,4 +223,39 @@ object Retrieval {
     df.select(col(idCol)).join(scored.withColumnRenamed("__id", idCol),
       Seq(idCol), "left")
   }
+
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic: with
+    * the vocab = the corpus's own top-`vocabSize` words (count desc, word
+    * asc tie-break — a total, cross-engine order), per document report
+    * `n_tokens`, `n_oov` (tokens outside the vocab) and
+    * `oov_rate = round(n_oov/n_tokens, 6)`. High OOV flags documents a
+    * fixed-vocab tokenizer will shred into bytes (fertility blow-up).
+    *
+    * Scale shape: the vocab is ONE token aggregation (O(vocab) rows)
+    * TakeOrdered-limited to `vocabSize` and BROADCAST back; scoring is one
+    * more token pass with a broadcast left join + per-doc integer sums —
+    * no shuffle of exploded tokens, no driver collection beyond the
+    * bounded vocab. The corpus is deliberately scanned twice rather than
+    * caching the exploded token frame (corpus-sized, larger than its
+    * source — at 100 TB a recompute beats a spill).
+    * Empty documents score null.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toksDf = df.select(col(idCol).as("__id"),
+      explode(TextHash.lowerTokens(col(textCol))).as("__tok"))
+    val vocab = toksDf.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok").asc)
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in"))
+    val scored = toksDf.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+    df.select(col(idCol)).join(scored.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left")
+  }
 }

@@ -135,6 +135,48 @@ object TextQuality {
       regexp_replace(graft.functions.NfcNormalize(text), StripClassRegex, ""),
       "\\s+", " "))
 
+  /** Markup patterns for [[stripMarkup]] — Java∩RE2 identical semantics
+    * (inline `(?is)` flags, lazy quantifiers, no lookaround/backrefs — so
+    * script and style get separate passes instead of a backreferenced
+    * close-tag).
+    */
+  val ScriptBlockRegex = "(?is)<script[^>]*>.*?</script\\s*>"
+  val StyleBlockRegex = "(?is)<style[^>]*>.*?</style\\s*>"
+  val CommentRegex = "(?s)<!--.*?-->"
+  val TagRegex = "(?s)<[/!]?[a-zA-Z][^>]*>"
+
+  /** HTML/markup removal — the extract-text gate for web-crawl corpora
+    * (trafilatura-lite). Contract, in application order (the order is part
+    * of the oracle):
+    *  1. drop `<script>`/`<style>` BLOCKS including their contents (code
+    *     and CSS are not prose), case-insensitively;
+    *  2. drop comments (`<!-- … -->`);
+    *  3. replace every remaining tag (open/close/doctype) with a space;
+    * every structural removal (block, comment, tag) substitutes a SPACE,
+    * never the empty string, so `…</p><p>…` and `two<!-- -->three` cannot
+    * weld words together — the whitespace collapse in step 5 absorbs the
+    * extras;
+    *  4. decode the six ubiquitous entities — `&nbsp; &lt; &gt; &quot;
+    *     &#39;` first and `&amp;` LAST, so `&amp;lt;` decodes to the
+    *     literal text `&lt;` (single-pass decode semantics) and
+    *     entity-encoded markup stays text instead of becoming strippable
+    *     tags (correct HTML semantics: it was never markup);
+    *  5. collapse whitespace runs and trim.
+    * Pure per-row projection: codegen'd `regexp_replace`/`replace` chain,
+    * composes with scan pushdown, strips at scan speed.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, ScriptBlockRegex, " "), StyleBlockRegex, " ")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, CommentRegex, " "), TagRegex, " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Character-level Shannon entropy in bits/char — the bits-per-byte-style
     * quality gate (gibberish and repeated-char spam score low; natural text
     * sits ~3.5-4.5 bits/char): H = −Σ_c p_c·log₂ p_c over the doc's own

@@ -209,6 +209,25 @@ class PlanAuditSpec extends GraftSuite {
       s"rank window must partition by bucket:\n$p")
   }
 
+  test("per-domain cap: rank filter becomes a group-limit (mega-domain rows pruned map-side)") {
+    val p = plan(SparkEntry.queries("q86_url_curation")(spark, sfSmall))
+    // InferWindowGroupLimit rewrites row_number <= cap into a per-partition
+    // top-k BEFORE the shuffle — the property that makes the cap survive a
+    // mega-domain at 100 TB
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=cap must plan as a group limit:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"domain window must hash-partition:\n$p")
+  }
+
+  test("oov rate: vocab joins broadcast; per-doc sums partial-agg") {
+    val p = plan(SparkEntry.queries("q87_oov_rate")(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded vocab must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc sums must partial-agg:\n$p")
+  }
+
   test("bloom incremental: might_contain prefilters batch before every corpus join") {
     val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
     graft.text.Dedup.withCache {
