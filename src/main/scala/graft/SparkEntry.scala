@@ -898,6 +898,18 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
 
+    "q88_temperature_mix" -> ((s, dir) => {
+      // temperature-rebalanced mixture (w_d ∝ tokens_d^0.3, the published
+      // multilingual default): one totals aggregation drives quantized
+      // weights AND keep rates; keep-decision = q48's hash rule
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ntok",
+          size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+      graft.text.Sampling.mixByTemperature(docs, "doc_id", "lang", "ntok",
+          alpha = 0.3, budget = 15000L)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "q87_oov_rate" -> ((s, dir) =>
       // vocabulary-coverage diagnostic: per-doc OOV rate against the
       // corpus's own top-500 words (one bounded-vocab aggregation,
@@ -2419,6 +2431,34 @@ object SparkEntry {
     "q62_incremental_dedup" -> incrementalDedupOracleSql(5L),
 
     "q84_bloom_incremental" -> incrementalDedupOracleSql(7L),
+
+    "q88_temperature_mix" -> {
+      // t^α mass quantized to integer micro-units BEFORE normalizing, so
+      // the normalizer Z is an order-free integer sum; the rate op
+      // sequence ((budget·pwq)/Z)/t mirrors the Scala left-to-right
+      val ntok = s"CAST(len(${OracleSqlGen.toks("text")}) AS BIGINT)"
+      val h = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':temp1')")
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, $ntok AS ntok FROM documents
+         |), tot AS (
+         |  SELECT lang, CAST(sum(ntok) AS BIGINT) AS t FROM tk GROUP BY lang
+         |), pw AS (
+         |  SELECT lang, t,
+         |    CAST(floor(pow(CAST(t AS DOUBLE), 0.3) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS pwq
+         |  FROM tot WHERE t > 0
+         |), zz AS (
+         |  SELECT CAST(sum(pwq) AS BIGINT) AS z FROM pw
+         |), r AS (
+         |  SELECT lang,
+         |    least(1.0, CAST(15000 AS DOUBLE) * CAST(pwq AS DOUBLE)
+         |      / CAST(z AS DOUBLE) / CAST(t AS DOUBLE)) AS rate
+         |  FROM pw, zz
+         |)
+         |SELECT tk.doc_id, tk.lang
+         |FROM tk JOIN r USING (lang)
+         |WHERE $h % 1000 < round(rate * 1000.0)""".stripMargin
+    },
 
     "q87_oov_rate" -> {
       // same top-500 vocab (count desc, token asc — total order) and the

@@ -65,14 +65,77 @@ object Sampling {
       weights: Map[String, Double],
       budget: Long
   ): Map[String, Double] = {
-    val totals = df.groupBy(col(strataCol))
-      .agg(sum(col(tokensCol).cast("long")).as("t"))
-      .collect()
-      .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    val totals = stratumTokenTotals(df, strataCol, tokensCol)
     weights.map { case (k, w) =>
       val t = totals.getOrElse(k, 0L)
       k -> (if (t <= 0L) 0.0 else math.min(1.0, budget * w / t.toDouble))
     }
+  }
+
+  /** Per-stratum exact token totals — ONE aggregation, strata-sized map
+    * (languages/sources/domains: driver-held by design).
+    */
+  def stratumTokenTotals(
+      df: DataFrame, strataCol: String, tokensCol: String): Map[String, Long] =
+    df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+
+  /** Temperature-scaled mixture weights — the multilingual/domain
+    * rebalancing rule (XLM-R/mT5 style): w_d ∝ t_d^α over per-stratum
+    * token totals, α<1 upsampling the tail (α=1 natural proportions,
+    * α=0 uniform; α≈0.3 is the published multilingual default).
+    *
+    * Determinism: t^α is quantized to integer micro-units
+    * (floor(t^α·10⁶+0.5)) BEFORE normalizing, so the normalizer is an
+    * order-free integer sum and w_d = pwq_d/Z is bit-reproducible in any
+    * engine running the same op sequence. The only cross-engine risk left
+    * is a last-ulp `pow` difference landing exactly on a .5 micro-unit
+    * boundary (probability ~10⁻⁹ per stratum — the q60 ln caveat's twin).
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      strataCol: String,
+      tokensCol: String,
+      alpha: Double
+  ): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val pwq = quantizedTemperatureMass(
+      stratumTokenTotals(df, strataCol, tokensCol), alpha)
+    val z = pwq.values.sum // exact integer — summation order cannot matter
+    pwq.map { case (k, q) => k -> q.toDouble / z.toDouble }
+  }
+
+  private def quantizedTemperatureMass(
+      totals: Map[String, Long], alpha: Double): Map[String, Long] =
+    totals.collect { case (k, t) if t > 0L =>
+      k -> math.floor(math.pow(t.toDouble, alpha) * 1e6 + 0.5).toLong
+    }
+
+  /** Temperature-based data mixing in one call: keep rates realize the
+    * t^α mixture under `budget` total tokens. Rate op sequence (mirrored
+    * by the oracle, left-to-right): budget·pwq / Z / t, capped at 1.
+    * ONE totals aggregation feeds both the weights and the rates.
+    */
+  def mixByTemperature(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokensCol: String,
+      alpha: Double,
+      budget: Long,
+      salt: String = "temp1"
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val totals = stratumTokenTotals(df, strataCol, tokensCol)
+    val pwq = quantizedTemperatureMass(totals, alpha)
+    val z = pwq.values.sum
+    val rates = pwq.map { case (k, q) =>
+      k -> math.min(1.0,
+        budget.toDouble * q.toDouble / z.toDouble / totals(k).toDouble)
+    }
+    stratified(df, idCol, strataCol, rates, defaultRate = 0.0, salt = salt)
   }
 
   /** Token-budget data mixing: keep a deterministic sample whose expected

@@ -125,6 +125,47 @@ class WebSpec extends GraftSuite {
     assert(ct.sameElements(pt))
   }
 
+  test("temperatureWeights: alpha endpoints and tail upsampling") {
+    import graft.text.Sampling
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .withColumn("ntok",
+        size(graft.text.TextHash.tokens(col("text"))).cast("long"))
+    val totals = Sampling.stratumTokenTotals(docs, "lang", "ntok")
+    val natural = totals.map { case (k, t) =>
+      k -> t.toDouble / totals.values.sum }
+
+    // alpha=1: weights == natural proportions (to quantization: pwq sums
+    // differ from exact by <1e-6 relative per stratum)
+    val w1 = Sampling.temperatureWeights(docs, "lang", "ntok", alpha = 1.0)
+    w1.foreach { case (k, w) => assert(math.abs(w - natural(k)) < 1e-5, k) }
+
+    // alpha=0: uniform over non-empty strata
+    val w0 = Sampling.temperatureWeights(docs, "lang", "ntok", alpha = 0.0)
+    w0.values.foreach(w => assert(math.abs(w - 1.0 / w0.size) < 1e-5))
+
+    // alpha=0.3 strictly upsamples every below-natural-share stratum
+    val w3 = Sampling.temperatureWeights(docs, "lang", "ntok", alpha = 0.3)
+    val (small, _) = natural.minBy(_._2)
+    val (big, _) = natural.maxBy(_._2)
+    assert(w3(small) > natural(small) && w3(big) < natural(big))
+    assert(math.abs(w3.values.sum - 1.0) < 1e-9)
+
+    // mixByTemperature == stratified with the derived rates (same salt)
+    val z = totals.map { case (k, t) =>
+      k -> math.floor(math.pow(t.toDouble, 0.3) * 1e6 + 0.5).toLong }
+    val rates = z.map { case (k, q) =>
+      k -> math.min(1.0,
+        15000L.toDouble * q.toDouble / z.values.sum.toDouble /
+          totals(k).toDouble) }
+    val a = Sampling.mixByTemperature(
+      docs, "doc_id", "lang", "ntok", 0.3, 15000L)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.stratified(docs, "doc_id", "lang", rates,
+        defaultRate = 0.0, salt = "temp1")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   test("oovRate: planted vocab split") {
     // 10 docs of common words + rare singletons; vocabSize=3 keeps the
     // three common words, so each doc's OOV tokens are exactly its rares
