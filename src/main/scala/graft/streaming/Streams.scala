@@ -97,7 +97,12 @@ object Streams {
     val gated = graft.text.Curation.withGates(df, idCol, textCol, langCol, g)
       .where(col("g_len") && col("g_rep") && col("g_ent") && col("g_lang"))
       .drop("g_len", "g_rep", "g_ent", "g_lang")
-    dedupExactStream(gated.withColumn("__md5", md5(col(textCol))),
+    // digest the SAME text the batch twin digests: the cleaned column when
+    // pre-clean gates are on (markup-only duplicates must dedup identically
+    // in both paths)
+    val digestText =
+      if (g.stripMarkup || g.normalize) col("clean_text") else col(textCol)
+    dedupExactStream(gated.withColumn("__md5", md5(digestText)),
       Seq("__md5"), ts, delay)
       .drop("__md5")
       .withColumn("split",

@@ -225,4 +225,36 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batchKept,
       s"stream admitted $streamed, batch kept $batchKept — gates and split must agree")
   }
+
+  test("curation parity under pre-clean: markup-only duplicates dedup identically") {
+    import org.apache.spark.sql.functions._
+    import graft.text.Curation
+    val g = Curation.Gates(minTokens = 3, stripMarkup = true, normalize = true)
+    val rows = Seq(
+      (1L, "en", "<p>alpha beta gamma delta</p>"),
+      // markup-only variant of doc 1: a duplicate ONLY because the digest
+      // runs on cleaned text — the raw-md5 bug this spec pins against
+      (2L, "en", "<div class=\"x\">alpha   beta gamma delta</div>"),
+      (3L, "en", "<script>var x;</script>nova quasar pulsar star"))
+    val batch = Curation.curate(rows.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", g)
+    val batchKept = batch.where(col("keep")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(batchKept.keySet === Set(1L, 3L))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val out = Streams.curateStream(
+      input.toDF().toDF("doc_id", "lang", "text", "ts"),
+      "doc_id", "text", "lang", "ts", g, "1 hour")
+    val q = out.writeStream.format("memory").queryName("curate_clean_out")
+      .outputMode("append").start()
+    input.addData(rows.map(r => (r._1, r._2, r._3, ts(r._1 * 10))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate_clean_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(streamed === batchKept,
+      s"stream admitted $streamed, batch kept $batchKept under pre-clean")
+  }
 }
