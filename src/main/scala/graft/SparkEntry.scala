@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.{Tables, Transcripts}
-import graft.temporal.{AsOf, Backfill, Descriptors, Sessionize}
+import graft.temporal.{AsOf, Backfill, ContextAssembly, Descriptors, Sessionize}
 import graft.stats.WeightedStats
 import graft.featurize.{Composition, Depart, FormulaParser, Magnitude, Poly, UnionPool}
 
@@ -908,6 +908,18 @@ object SparkEntry {
       graft.text.Sampling.mixByTemperature(docs, "doc_id", "lang", "ntok",
           alpha = 0.3, budget = 15000L)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    "q89_context_assembly" -> ((s, dir) => {
+      // SFT-example assembly: per turn, the trailing context that fits a
+      // token budget (value quantized as the token count, clicks carry
+      // loss). One partition+sort serves both window passes.
+      ContextAssembly.assemble(
+        ev(s, dir), convCol = "user_id", orderCols = Seq("ts", "event_id"),
+        idCol = "event_id",
+        tokCol = floor(col("value") + 0.5),
+        maskCol = (col("event_type") === "click").cast("int"),
+        tokenBudget = 200L, maxTurns = 8)
     }),
 
     "q87_oov_rate" -> ((s, dir) =>
@@ -2458,6 +2470,41 @@ object SparkEntry {
          |SELECT tk.doc_id, tk.lang
          |FROM tk JOIN r USING (lang)
          |WHERE $h % 1000 < round(rate * 1000.0)""".stripMargin
+    },
+
+    "q89_context_assembly" -> {
+      // token sums are non-negative so "suffix j..i fits the budget"
+      // (cum_i - cum_j + tok_j <= B) is monotone in j: a plain list_filter
+      // keeps exactly the contiguous suffix — same shape as the Spark plan.
+      // list_sum of BIGINTs is HUGEINT in DuckDB → CAST (the q05 lesson).
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value + 0.5) AS BIGINT) AS tok,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS m
+        |  FROM events
+        |), c AS (
+        |  SELECT *, sum(tok) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), g AS (
+        |  SELECT event_id, user_id, cum,
+        |    list(struct_pack(cum := cum, tok := tok, id := event_id, m := m))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS ctx
+        |  FROM c
+        |), k AS (
+        |  SELECT event_id, user_id,
+        |    list_filter(ctx,
+        |      x -> cum - x.cum + x.tok <= 200 OR x.id = event_id) AS kept
+        |  FROM g
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(len(kept) AS BIGINT) AS n_ctx,
+        |  CAST(list_sum(list_transform(kept, x -> x.tok)) AS BIGINT) AS ctx_tokens,
+        |  CAST(list_sum(list_transform(kept, x -> x.m)) AS BIGINT) AS n_mask,
+        |  array_to_string(list_transform(kept, x -> CAST(x.id AS VARCHAR)), ',')
+        |    AS ctx_ids
+        |FROM k""".stripMargin
     },
 
     "q87_oov_rate" -> {

@@ -87,6 +87,17 @@ class PlanAuditSpec extends GraftSuite {
       s"resolveClusters leaked lineage across rounds ($nodes logical nodes)")
   }
 
+  test("context assembly: both window passes ride one exchange and one sort") {
+    val p = plan(SparkEntry.queries("q89_context_assembly")(spark, sfSmall))
+    assert(!p.contains("Join"), s"context assembly must not join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"context assembly should shuffle exactly once, got $exchanges:\n$p")
+    assert(sorts == 1,
+      s"cumsum + bounded-collect windows must share one sort, got $sorts:\n$p")
+  }
+
   test("curation facade: one projection + the digest window only — no join, one exchange") {
     val p = plan(SparkEntry.queries("q68_curation")(spark, sfSmall))
     assert(!p.contains("Join"), s"curate must not join:\n$p")

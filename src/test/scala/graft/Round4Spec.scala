@@ -420,6 +420,37 @@ class Round4Spec extends GraftSuite {
     }
   }
 
+  test("context assembly: longest suffix within budget; current turn always kept") {
+    import graft.temporal.ContextAssembly
+    // heavy-tailed token counts incl. single turns larger than the budget
+    val rows = for (c <- 0 until 5; i <- 0 until 20) yield
+      (s"c$c", i, c * 100L + i,
+        ((i * 37 + c * 13) % 180 + (if (i % 7 == 0) 450 else 5)).toLong,
+        i % 3 == 0)
+    val df = rows.toDF("conv", "idx", "id", "tok", "mask")
+    val budget = 400L; val maxTurns = 6
+    val out = ContextAssembly.assemble(df, "conv", Seq("idx", "id"), "id",
+        tokCol = col("tok"), maskCol = col("mask").cast("int"),
+        tokenBudget = budget, maxTurns = maxTurns)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+
+    val byConv = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((_, turns) <- byConv; i <- turns.indices) {
+      val window = turns.slice(math.max(0, i - maxTurns + 1), i + 1)
+      // longest suffix fitting the budget, current always kept
+      val kept = window.zipWithIndex.filter { case (t, j) =>
+        window.drop(j).map(_._4).sum <= budget || j == window.size - 1
+      }.map(_._1)
+      val (_, _, id, _, _) = turns(i)
+      val (nCtx, ctxTok, nMask, ids) = out(id)
+      assert(nCtx == kept.size.toLong, s"turn $id n_ctx")
+      assert(ctxTok == kept.map(_._4).sum, s"turn $id ctx_tokens")
+      assert(nMask == kept.count(_._5).toLong, s"turn $id n_mask")
+      assert(ids == kept.map(_._3).mkString(","), s"turn $id ctx_ids")
+    }
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
