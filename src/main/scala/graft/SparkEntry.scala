@@ -922,6 +922,14 @@ object SparkEntry {
         tokenBudget = 200L, maxTurns = 8)
     }),
 
+    "q90_preference_pairs" -> ((s, dir) =>
+      // DPO-pair mining: per user, champion event vs margin-separated
+      // lower-scored events, hardest negatives first, capped at 3. One
+      // shuffle, one sort, no join, no pair explosion.
+      graft.text.Preference.minePairs(
+        ev(s, dir), groupCol = "user_id", idCol = "event_id",
+        scoreCol = col("value"), margin = 30.0, maxPairsPerGroup = 3)),
+
     "q87_oov_rate" -> ((s, dir) =>
       // vocabulary-coverage diagnostic: per-doc OOV rate against the
       // corpus's own top-500 words (one bounded-vocab aggregation,
@@ -2505,6 +2513,30 @@ object SparkEntry {
         |  array_to_string(list_transform(kept, x -> CAST(x.id AS VARCHAR)), ',')
         |    AS ctx_ids
         |FROM k""".stripMargin
+    },
+
+    "q90_preference_pairs" -> {
+      // qualifying rows are a contiguous suffix of the (score DESC, id ASC)
+      // order, so the per-group cap is a running sum — same plan as Spark.
+      // Output scores are copied values (no arithmetic): byte-exact compare.
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    first_value(value) OVER w AS cs,
+        |    first_value(event_id) OVER w AS cid,
+        |    row_number() OVER w AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), q AS (
+        |  SELECT *, sum(CASE WHEN rn > 1 AND cs - value >= 30.0
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qrk
+        |  FROM r
+        |)
+        |SELECT user_id, cid AS chosen_id, cs AS chosen_score,
+        |  event_id AS rejected_id, value AS rejected_score
+        |FROM q WHERE rn > 1 AND cs - value >= 30.0 AND qrk <= 3""".stripMargin
     },
 
     "q87_oov_rate" -> {

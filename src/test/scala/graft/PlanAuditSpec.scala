@@ -98,6 +98,17 @@ class PlanAuditSpec extends GraftSuite {
       s"cumsum + bounded-collect windows must share one sort, got $sorts:\n$p")
   }
 
+  test("preference pairs: three window expressions, one exchange, one sort, no join") {
+    val p = plan(SparkEntry.queries("q90_preference_pairs")(spark, sfSmall))
+    assert(!p.contains("Join"), s"preference mining must not join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"preference mining should shuffle exactly once, got $exchanges:\n$p")
+    assert(sorts == 1,
+      s"champion/rank/cap windows must share one sort, got $sorts:\n$p")
+  }
+
   test("curation facade: one projection + the digest window only — no join, one exchange") {
     val p = plan(SparkEntry.queries("q68_curation")(spark, sfSmall))
     assert(!p.contains("Join"), s"curate must not join:\n$p")

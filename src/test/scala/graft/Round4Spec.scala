@@ -451,6 +451,32 @@ class Round4Spec extends GraftSuite {
     }
   }
 
+  test("preference pairs: champion vs margin-separated, hardest-first, capped") {
+    import graft.text.Preference
+    // score ties (incl. on the champion), gaps straddling the margin, and
+    // a group whose qualifying count exceeds the cap
+    val rows = for (g <- 0 until 6; i <- 0 until 12) yield
+      (s"p$g", g * 100L + i, ((i * 29 + g * 11) % 10) * 7.5)
+    val df = rows.toDF("prompt", "rid", "score")
+    val margin = 20.0; val cap = 3
+    val got = Preference.minePairs(df, "prompt", "rid", col("score"),
+        margin, cap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+
+    val want = rows.groupBy(_._1).flatMap { case (p, rs) =>
+      val ordered = rs.sortBy(t => (-t._3, t._2)) // score DESC, id ASC
+      val (_, cid, cs) = ordered.head
+      ordered.tail.filter(t => cs - t._3 >= margin).take(cap)
+        .map(t => (p, cid, cs, t._2, t._3))
+    }.toSet
+    assert(got == want)
+    // score ties never pair a row against itself
+    assert(got.forall { case (_, cid, _, rid, _) => cid != rid })
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
