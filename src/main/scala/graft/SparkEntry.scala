@@ -922,6 +922,13 @@ object SparkEntry {
         tokenBudget = 200L, maxTurns = 8)
     }),
 
+    "q91_transcript_audit" -> ((s, dir) =>
+      // structure gate over the events-derived transcript: role repeats,
+      // empty turns, ts ties, span. One shuffle feeds window AND groupBy.
+      graft.temporal.TranscriptAudit.audit(
+        ev(s, dir), convCol = "user_id", orderCols = Seq("ts", "event_id"),
+        roleCol = "event_type", tsCol = "ts", textCol = col("props"))),
+
     "q90_preference_pairs" -> ((s, dir) =>
       // DPO-pair mining: per user, champion event vs margin-separated
       // lower-scored events, hardest negatives first, capped at 3. One
@@ -2513,6 +2520,32 @@ object SparkEntry {
         |  array_to_string(list_transform(kept, x -> CAST(x.id AS VARCHAR)), ',')
         |    AS ctx_ids
         |FROM k""".stripMargin
+    },
+
+    "q91_transcript_audit" -> {
+      // integer-µs span (epoch_us both sides, UTC session); int sums CAST
+      // to BIGINT (DuckDB sums are HUGEINT — the q05 lesson); arg_min/max
+      // on the unique row_number = Spark's min_by/max_by on __rn.
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type AS role, props,
+        |    lag(event_type) OVER w AS pr,
+        |    lag(ts) OVER w AS pts,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN role = pr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_role_repeats,
+        |  CAST(sum(CASE WHEN props IS NULL OR length(props) = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+        |  CAST(sum(CASE WHEN ts = pts THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ts_ties,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+        |  arg_min(role, rn) AS first_role,
+        |  arg_max(role, rn) AS last_role
+        |FROM t GROUP BY user_id""".stripMargin
     },
 
     "q90_preference_pairs" -> {

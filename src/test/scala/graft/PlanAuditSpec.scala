@@ -109,6 +109,14 @@ class PlanAuditSpec extends GraftSuite {
       s"champion/rank/cap windows must share one sort, got $sorts:\n$p")
   }
 
+  test("transcript audit: the groupBy reuses the window's hash distribution — one exchange") {
+    val p = plan(SparkEntry.queries("q91_transcript_audit")(spark, sfSmall))
+    assert(!p.contains("Join"), s"transcript audit must not join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"window + per-conv aggregate must share one shuffle, got $exchanges:\n$p")
+  }
+
   test("curation facade: one projection + the digest window only — no join, one exchange") {
     val p = plan(SparkEntry.queries("q68_curation")(spark, sfSmall))
     assert(!p.contains("Join"), s"curate must not join:\n$p")

@@ -477,6 +477,34 @@ class Round4Spec extends GraftSuite {
     assert(got.forall { case (_, cid, _, rid, _) => cid != rid })
   }
 
+  test("transcript audit: repeats, empties, ties, span against a driver replay") {
+    import graft.temporal.TranscriptAudit
+    import java.sql.Timestamp
+    // role repeats, an empty + a null text, exact ts ties, single-turn conv
+    val rows = Seq(
+      ("c1", 1L, "user", "hi", Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("c1", 2L, "assistant", "", Timestamp.valueOf("2026-01-01 00:00:05")),
+      ("c1", 3L, "assistant", null, Timestamp.valueOf("2026-01-01 00:00:05")),
+      ("c1", 4L, "user", "bye", Timestamp.valueOf("2026-01-01 00:01:00")),
+      ("c2", 5L, "tool", "x", Timestamp.valueOf("2026-01-02 10:00:00")))
+    val df = rows.toDF("conv", "id", "role", "text", "ts")
+    val got = TranscriptAudit.audit(df, "conv", Seq("ts", "id"), "role",
+        "ts", col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val c1 = got("c1")
+    assert(c1.getLong(1) == 4L, "n_turns")
+    assert(c1.getLong(2) == 1L, "n_role_repeats: assistant->assistant once")
+    assert(c1.getLong(3) == 2L, "n_empty_text: empty + null")
+    assert(c1.getLong(4) == 1L, "n_ts_ties")
+    assert(c1.getLong(5) == 60L * 1000000L, "span_us")
+    assert(c1.getString(6) == "user" && c1.getString(7) == "user")
+    val c2 = got("c2")
+    assert(c2.getLong(1) == 1L && c2.getLong(2) == 0L && c2.getLong(4) == 0L)
+    assert(c2.getLong(5) == 0L)
+    assert(c2.getString(6) == "tool" && c2.getString(7) == "tool")
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
