@@ -192,3 +192,91 @@ object StreamingAsOf {
         })
   }
 }
+
+/** Close-on-idle streaming twin of [[graft.temporal.TranscriptAudit]].
+  *
+  * Live ingest can't see a conversation's end; the production convention is
+  * event-time idleness: once a conversation has been silent for `idleGap`
+  * (by watermark, not wall clock), it is CLOSED — its audit row is emitted
+  * exactly once and its state dropped. State per conversation is O(1)
+  * (running counters + the order tail + first/min/max timestamps), so
+  * mega-conversations cost constant memory, same as the batch operator.
+  *
+  * Ordering contract (the same horizon trade documented on the dedup
+  * streams): rows are sorted (ts, tie) WITHIN each micro-batch, so the
+  * audit is exactly the batch audit whenever delivery is in-order across
+  * micro-batches (the parity spec's scenario). A row arriving in a LATER
+  * batch than a newer row of the same conversation is counted in arrival
+  * order against the running tail — `span_us` stays exact (min/max
+  * timestamps), but `n_role_repeats`/`n_ts_ties` then reflect the observed
+  * order, which is the only order a bounded-state stream can know. Rows at
+  * or below the current watermark never reach the operator at all (Spark's
+  * standard late-data filter under `withWatermark`) — size `watermarkDelay`
+  * to the delivery skew you must absorb.
+  */
+object StreamingAudit {
+
+  final case class AuditTurn(conv_id: String, ts: java.sql.Timestamp,
+      tie: Long, role: String, text: String)
+  /** Internal running state (public: Catalyst instantiates it). */
+  final case class AuditState(nTurns: Long, nRepeats: Long, nEmpty: Long,
+      nTies: Long, minUs: Long, maxUs: Long, tailUs: Long, tailTie: Long,
+      tailRole: String, firstRole: String)
+  final case class AuditRow(conv_id: String, n_turns: Long,
+      n_role_repeats: Long, n_empty_text: Long, n_ts_ties: Long,
+      span_us: Long, first_role: String, last_role: String)
+
+  def auditStream(
+      turns: org.apache.spark.sql.Dataset[AuditTurn],
+      watermarkDelay: String,
+      idleGap: java.time.Duration
+  ): org.apache.spark.sql.Dataset[AuditRow] = {
+    import turns.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, rows: Iterator[AuditTurn],
+            state: org.apache.spark.sql.streaming.GroupState[AuditState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(AuditRow(key, s.nTurns, s.nRepeats, s.nEmpty,
+              s.nTies, s.maxUs - s.minUs, s.firstRole, s.tailRole))
+          } else {
+            // batch-operator order within the micro-batch
+            var s = state.getOption.orNull
+            rows.toVector.sortBy(r => (us(r.ts), r.tie)).foreach { r =>
+              val u = us(r.ts)
+              s =
+                if (s == null)
+                  AuditState(1L, 0L, if (isEmpty(r.text)) 1L else 0L, 0L,
+                    u, u, u, r.tie, r.role, r.role)
+                else
+                  AuditState(
+                    s.nTurns + 1,
+                    // null-safe like the batch audit: null roles never match
+                    s.nRepeats + (if (r.role != null && r.role == s.tailRole) 1L else 0L),
+                    s.nEmpty + (if (isEmpty(r.text)) 1L else 0L),
+                    s.nTies + (if (u == s.tailUs) 1L else 0L),
+                    math.min(s.minUs, u), math.max(s.maxUs, u),
+                    u, r.tie, r.role, s.firstRole)
+            }
+            state.update(s)
+            // close once the WATERMARK passes last-activity + idleGap;
+            // clamp above the current watermark — a conversation whose rows
+            // all arrived late would otherwise make this call throw
+            state.setTimeoutTimestamp(math.max(
+              s.maxUs / 1000L + idleGap.toMillis,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  private def isEmpty(text: String): Boolean = text == null || text.isEmpty
+}

@@ -226,6 +226,56 @@ class StreamingSpec extends GraftSuite {
       s"stream admitted $streamed, batch kept $batchKept — gates and split must agree")
   }
 
+  test("audit parity: close-on-idle streaming audit == batch TranscriptAudit") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingAudit
+    import graft.streaming.StreamingAudit.{AuditRow, AuditTurn}
+    import graft.temporal.TranscriptAudit
+    // conv a spans two micro-batches (state must carry); conv b is a
+    // single turn; both contain the gate's defect shapes (role repeat,
+    // empty + null text, exact-ts tie)
+    // (timestamps start away from epoch 0 — a row AT the initial watermark
+    // is filtered as late, which would silently shrink conv a)
+    val closed = Seq(
+      AuditTurn("a", ts(100), 1L, "user", "hi"),
+      AuditTurn("a", ts(105), 2L, "assistant", ""),
+      AuditTurn("a", ts(105), 3L, "assistant", null),
+      AuditTurn("a", ts(160), 4L, "user", "bye"),
+      AuditTurn("b", ts(130), 5L, "tool", "x"))
+    val batch = TranscriptAudit.audit(
+      closed.toDF(), "conv_id", Seq("ts", "tie"), "role", "ts", col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+        r.getString(7))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AuditTurn]
+    val out = StreamingAudit.auditStream(input.toDS(), "0 seconds",
+      java.time.Duration.ofSeconds(120))
+    val q = out.writeStream.format("memory").queryName("audit_out")
+      .outputMode("append").start()
+    input.addData(closed.take(3))
+    q.processAllAvailable()
+    input.addData(closed.drop(3))
+    q.processAllAvailable()
+    // far-future turn of ANOTHER conv advances the watermark past
+    // a/b's idle horizon (160+120 < 10000); the nudge batch lets the
+    // timeout fire under the advanced watermark
+    input.addData(Seq(AuditTurn("c", ts(10000), 6L, "user", "zzz")))
+    q.processAllAvailable()
+    input.addData(Seq(AuditTurn("c", ts(10001), 7L, "user", "zzz2")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("audit_out").as[AuditRow].collect()
+      .map(r => r.conv_id -> (r.n_turns, r.n_role_repeats, r.n_empty_text,
+        r.n_ts_ties, r.span_us, r.first_role, r.last_role)).toMap
+    assert(streamed.keySet == Set("a", "b"),
+      s"idle convs close, live conv c stays open — got ${streamed.keySet}")
+    for (k <- Seq("a", "b"))
+      assert(streamed(k) == batch(k),
+        s"conv $k: stream ${streamed(k)} != batch ${batch(k)}")
+  }
+
   test("curation parity under pre-clean: markup-only duplicates dedup identically") {
     import org.apache.spark.sql.functions._
     import graft.text.Curation
