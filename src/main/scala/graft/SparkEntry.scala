@@ -922,6 +922,14 @@ object SparkEntry {
         tokenBudget = 200L, maxTurns = 8)
     }),
 
+    "q92_curriculum_shards" -> ((s, dir) =>
+      // range-partitioned curriculum: deterministic-sample quantile
+      // boundaries + pure-projection assignment (no global sort/ntile).
+      graft.text.Packing.curriculumShards(
+        ev(s, dir).select(col("event_id"), col("value").as("score")),
+        idCol = "event_id", scoreCol = col("score"),
+        shards = 4, sampleRate = 0.2)),
+
     "q91_transcript_audit" -> ((s, dir) =>
       // structure gate over the events-derived transcript: role repeats,
       // empty turns, ts ties, span. One shuffle feeds window AND groupBy.
@@ -2520,6 +2528,28 @@ object SparkEntry {
         |  array_to_string(list_transform(kept, x -> CAST(x.id AS VARCHAR)), ',')
         |    AS ctx_ids
         |FROM k""".stripMargin
+    },
+
+    "q92_curriculum_shards" -> {
+      // same deterministic hash-sample (the q48 keep rule), same exact
+      // quantile boundaries rounded to 6 (q12-proven round parity), same
+      // count-of-exceeded-boundaries assignment. Nulls land in shard 0
+      // (CASE WHEN null THEN.. ELSE 0 == Spark's coalesce(..,0)).
+      val h = OracleSqlGen.poly("(CAST(event_id AS VARCHAR) || ':curr')")
+      s"""WITH smp AS (
+         |  SELECT value AS score FROM events
+         |  WHERE $h % 1000 < round(0.2 * 1000.0)
+         |), b AS (
+         |  SELECT round(quantile_cont(score, 0.25), 6) AS b1,
+         |         round(quantile_cont(score, 0.5), 6) AS b2,
+         |         round(quantile_cont(score, 0.75), 6) AS b3
+         |  FROM smp
+         |)
+         |SELECT event_id, value AS score,
+         |  CAST(CASE WHEN value > b1 THEN 1 ELSE 0 END +
+         |       CASE WHEN value > b2 THEN 1 ELSE 0 END +
+         |       CASE WHEN value > b3 THEN 1 ELSE 0 END AS BIGINT) AS shard
+         |FROM events, b""".stripMargin
     },
 
     "q91_transcript_audit" -> {

@@ -185,4 +185,46 @@ object Packing {
         when(pmod(pass, lit(2L)) === 0, pos).otherwise(lit(shards.toLong) - 1 - pos))
       .drop("__rk")
   }
+
+  /** Curriculum (difficulty-ordered) sharding — range-partition the corpus
+    * by a score so shard k holds the k-th difficulty band (curriculum
+    * learning / length-bucketed batching feeds shards in order).
+    *
+    * Scale shape: the naive `ntile(n) OVER (ORDER BY score)` serializes
+    * 100 TB through ONE sort partition. This is the RangePartitioner
+    * doctrine instead: (1) a DETERMINISTIC hash-sample (same keep rule as
+    * [[Sampling.keepAtRate]] — no RNG, replayable in any SQL engine) feeds
+    * ONE exact-quantile aggregation for the n−1 boundaries (driver-sized:
+    * n−1 doubles); (2) assignment is a PURE PROJECTION — shard = count of
+    * boundaries the score exceeds — zero shuffles over the corpus, scan
+    * speed, trivially codegen'd. Boundaries are rounded to 6 decimals IN
+    * the plan (Spark round == DuckDB round, hash-verified by q12) so the
+    * comparisons are cross-engine exact. Null scores land in shard 0.
+    *
+    * Shard populations are balanced to sampling error (±O(1/√sample) per
+    * boundary), which is the standard trade — exactness of the SPLIT
+    * POINTS is not a training requirement, determinism of the ASSIGNMENT
+    * is. Returns the input plus `shard` (0..shards−1, ascending score).
+    */
+  def curriculumShards(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      shards: Int,
+      sampleRate: Double,
+      salt: String = "curr"): DataFrame = {
+    require(shards >= 2, "need at least two shards")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0,1], got $sampleRate")
+    val qs = (1 until shards).map(_.toDouble / shards)
+    val bounds = df
+      .where(Sampling.keepAtRate(col(idCol), sampleRate, salt))
+      .agg(transform(graft.stats.WeightedStats.quantiles(scoreCol, qs),
+        b => round(b, 6)).as("bs"))
+      .head().getSeq[Double](0)
+    val shard = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + coalesce((scoreCol > lit(b)).cast("long"), lit(0L))
+    }
+    df.withColumn("shard", shard)
+  }
 }

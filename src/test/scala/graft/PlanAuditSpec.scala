@@ -117,6 +117,14 @@ class PlanAuditSpec extends GraftSuite {
       s"window + per-conv aggregate must share one shuffle, got $exchanges:\n$p")
   }
 
+  test("curriculum shards: assignment is a pure projection — zero exchanges") {
+    val p = plan(SparkEntry.queries("q92_curriculum_shards")(spark, sfSmall))
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"assignment must be a scan-speed projection (boundaries are literals):\n$p")
+    assert(!p.contains("Window"), s"no global-sort ntile anti-pattern:\n$p")
+  }
+
   test("curation facade: one projection + the digest window only — no join, one exchange") {
     val p = plan(SparkEntry.queries("q68_curation")(spark, sfSmall))
     assert(!p.contains("Join"), s"curate must not join:\n$p")

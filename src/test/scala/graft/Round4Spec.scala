@@ -505,6 +505,25 @@ class Round4Spec extends GraftSuite {
     assert(c2.getString(6) == "tool" && c2.getString(7) == "tool")
   }
 
+  test("curriculum shards: full-sample boundaries give exact quartile bands") {
+    import graft.text.Packing
+    // sampleRate=1.0 -> boundaries are the exact quantiles of 1..8:
+    // q25=2.75, q50=4.5, q75=6.25 (linear interpolation)
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+      .unionByName(Seq((99L, Option.empty[Double])).toDF("id", "score"))
+    val got = Packing.curriculumShards(df, "id", col("score"),
+        shards = 4, sampleRate = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L,
+      6L -> 2L, 7L -> 3L, 8L -> 3L, 99L -> 0L))
+    intercept[IllegalArgumentException] {
+      Packing.curriculumShards(df, "id", col("score"), 1, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.curriculumShards(df, "id", col("score"), 4, 0.0)
+    }
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
