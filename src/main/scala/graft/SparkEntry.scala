@@ -922,6 +922,13 @@ object SparkEntry {
         tokenBudget = 200L, maxTurns = 8)
     }),
 
+    "q93_chat_render" -> ((s, dir) =>
+      // last-mile SFT rendering: one groupBy, order restored in-group via
+      // array_sort on (ts, event_id)-led structs, no window/sort pass.
+      graft.temporal.ChatRender.render(
+        ev(s, dir), convCol = "user_id", orderCols = Seq("ts", "event_id"),
+        roleCol = "event_type", textCol = col("props"))),
+
     "q92_curriculum_shards" -> ((s, dir) =>
       // range-partitioned curriculum: deterministic-sample quantile
       // boundaries + pure-projection assignment (no global sort/ntile).
@@ -2528,6 +2535,15 @@ object SparkEntry {
         |  array_to_string(list_transform(kept, x -> CAST(x.id AS VARCHAR)), ',')
         |    AS ctx_ids
         |FROM k""".stripMargin
+    },
+
+    "q93_chat_render" -> {
+      // string_agg with ORDER BY = Spark's array_sort(collect_list) on
+      // order-led structs; null text renders empty on both sides.
+      """SELECT user_id, count(*) AS n_turns,
+        |  string_agg('<|' || event_type || '|>' || coalesce(props, '')
+        |               || '<|end|>', '' ORDER BY ts, event_id) AS rendered
+        |FROM events GROUP BY user_id""".stripMargin
     },
 
     "q92_curriculum_shards" -> {

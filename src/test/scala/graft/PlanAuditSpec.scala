@@ -125,6 +125,14 @@ class PlanAuditSpec extends GraftSuite {
     assert(!p.contains("Window"), s"no global-sort ntile anti-pattern:\n$p")
   }
 
+  test("chat render: one partial-agg groupBy, no window/sort pass, no join") {
+    val p = plan(SparkEntry.queries("q93_chat_render")(spark, sfSmall))
+    assert(!p.contains("Join"), s"render must not join:\n$p")
+    assert(!p.contains("Window"), s"order restores in-group, not via window:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"render should shuffle exactly once, got $exchanges:\n$p")
+  }
+
   test("curation facade: one projection + the digest window only — no join, one exchange") {
     val p = plan(SparkEntry.queries("q68_curation")(spark, sfSmall))
     assert(!p.contains("Join"), s"curate must not join:\n$p")

@@ -524,6 +524,24 @@ class Round4Spec extends GraftSuite {
     }
   }
 
+  test("chat render: exact order, null text renders empty, one row per conv") {
+    import graft.temporal.ChatRender
+    import java.sql.Timestamp
+    val rows = Seq(
+      // out-of-input-order on purpose: rendering must follow (ts, id)
+      ("a", 2L, "assistant", "yo", Timestamp.valueOf("2026-01-01 00:00:05")),
+      ("a", 1L, "user", "hi", Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("a", 3L, "tool", null, Timestamp.valueOf("2026-01-01 00:00:09")),
+      ("b", 4L, "user", "solo", Timestamp.valueOf("2026-01-02 00:00:00")))
+    val got = ChatRender.render(rows.toDF("conv", "id", "role", "text", "ts"),
+        "conv", Seq("ts", "id"), "role", col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got("a") == (3L,
+      "<|user|>hi<|end|><|assistant|>yo<|end|><|tool|><|end|>"))
+    assert(got("b") == (1L, "<|user|>solo<|end|>"))
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
