@@ -922,6 +922,13 @@ object SparkEntry {
         tokenBudget = 200L, maxTurns = 8)
     }),
 
+    "q94_fim" -> ((s, dir) =>
+      // fill-in-the-middle pretraining prep: hash-selected half of the
+      // corpus rewritten PSM, hash-derived pivots; pure projection.
+      graft.text.Fim.transform(
+        Tables.load(s, dir, "documents"), idCol = "doc_id",
+        textCol = col("text"), fimRate = 0.5)),
+
     "q93_chat_render" -> ((s, dir) =>
       // last-mile SFT rendering: one groupBy, order restored in-group via
       // array_sort on (ts, event_id)-led structs, no window/sort pass.
@@ -2535,6 +2542,31 @@ object SparkEntry {
         |  array_to_string(list_transform(kept, x -> CAST(x.id AS VARCHAR)), ',')
         |    AS ctx_ids
         |FROM k""".stripMargin
+    },
+
+    "q94_fim" -> {
+      // same keep rule (q48), same polyHash pivots mod (n+1), same 1-based
+      // slice arithmetic (DuckDB t[a:b] inclusive == Spark slice(t,a,b-a+1)).
+      val tks = OracleSqlGen.toks("text")
+      val keep = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':fim')")
+      val h1 = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':fim1')")
+      val h2 = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':fim2')")
+      s"""WITH p AS (
+         |  SELECT doc_id, text, $tks AS tk, len($tks) AS n,
+         |    $h1 % (len($tks) + 1) AS u,
+         |    $h2 % (len($tks) + 1) AS v,
+         |    ($keep % 1000 < round(0.5 * 1000.0)) AND len($tks) >= 3 AS f
+         |  FROM documents
+         |)
+         |SELECT doc_id, coalesce(f, false) AS fimmed,
+         |  CASE WHEN f THEN
+         |    '<|pre|>' || coalesce(array_to_string(tk[1:least(u, v)], ' '), '')
+         |    || '<|suf|>'
+         |    || coalesce(array_to_string(tk[greatest(u, v)+1:n], ' '), '')
+         |    || '<|mid|>'
+         |    || coalesce(array_to_string(tk[least(u, v)+1:greatest(u, v)], ' '), '')
+         |  ELSE text END AS text_out
+         |FROM p""".stripMargin
     },
 
     "q93_chat_render" -> {

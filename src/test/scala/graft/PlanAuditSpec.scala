@@ -133,6 +133,12 @@ class PlanAuditSpec extends GraftSuite {
     assert(exchanges == 1, s"render should shuffle exactly once, got $exchanges:\n$p")
   }
 
+  test("FIM: pure projection — zero exchanges, no join, no window") {
+    val p = plan(SparkEntry.queries("q94_fim")(spark, sfSmall))
+    assert(!p.contains("Join") && !p.contains("Exchange") && !p.contains("Window"),
+      s"FIM must be a scan-speed map over the corpus:\n$p")
+  }
+
   test("curation facade: one projection + the digest window only — no join, one exchange") {
     val p = plan(SparkEntry.queries("q68_curation")(spark, sfSmall))
     assert(!p.contains("Join"), s"curate must not join:\n$p")

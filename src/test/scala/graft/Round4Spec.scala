@@ -542,6 +542,40 @@ class Round4Spec extends GraftSuite {
     assert(got("b") == (1L, "<|user|>solo<|end|>"))
   }
 
+  test("FIM: segments reassemble to the token multiset; pass-through is byte-exact") {
+    import graft.text.Fim
+    val docs = (1L to 200L).map(i =>
+      (i, (0 until (i % 13).toInt + 1).map(k => s"w${(i + k) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Fim.transform(docs, "doc_id", col("text"), fimRate = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val in = (1L to 200L).map(i =>
+      (i, (0 until (i % 13).toInt + 1).map(k => s"w${(i + k) % 7}").mkString(" "))).toMap
+    var nFim = 0
+    for ((id, text) <- in) {
+      val (f, o) = out(id)
+      if (!f) assert(o == text, s"doc $id pass-through must be byte-exact")
+      else {
+        nFim += 1
+        assert(in(id).split("\\s+").length >= 3, s"doc $id too short for FIM")
+        // PSM order: pre, suf, mid — token multiset must be conserved
+        val m = "<\\|pre\\|>(.*)<\\|suf\\|>(.*)<\\|mid\\|>(.*)".r
+        o match {
+          case m(pre, suf, mid) =>
+            val got = Seq(pre, mid, suf).flatMap(_.split(" ").filter(_.nonEmpty))
+            assert(got.sorted == text.split("\\s+").toSeq.sorted,
+              s"doc $id: token multiset not conserved: $o vs $text")
+            // prefix ++ middle ++ suffix restores the ORIGINAL order too
+            val restored = Seq(pre, mid, suf)
+              .flatMap(_.split(" ").filter(_.nonEmpty)).mkString(" ")
+            assert(restored == text, s"doc $id: order not restored: $o")
+          case _ => fail(s"doc $id: bad FIM shape: $o")
+        }
+      }
+    }
+    assert(nFim > 40 && nFim < 160, s"rate 0.6 of eligible docs, got $nFim")
+  }
+
   test("bm25Batch rejects misuse: whitespace terms, duplicate names") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
