@@ -922,6 +922,53 @@ object SparkEntry {
         tokenBudget = 200L, maxTurns = 8)
     }),
 
+    "q95_interval_join" -> ((s, dir) => {
+      // SCD-2 validity-interval dimension join: purchase snapshots become
+      // [eff_start, eff_end) versions; each click joins the version whose
+      // window contains it. Equi-join on key + range residual — no theta
+      // join, row-preserving by disjointness.
+      val e = ev(s, dir)
+      val dim = graft.temporal.Intervals.validityIntervals(
+        purchaseSnapshots(e), key = "user_id", tsCol = "snap_ts")
+      graft.temporal.Intervals.intervalJoin(
+          e.where(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          dim, key = "user_id", factTs = "ts",
+          startCol = "eff_start", endCol = "eff_end",
+          payload = Seq("snap_value"))
+        .select(col("event_id"), col("user_id"),
+          col("eff_start"), col("eff_end"), col("snap_value"))
+    }),
+
+    "q96_cms_heavy" -> ((s, dir) => {
+      // count-min-sketch heavy-hitter detection (skew diagnostics): a
+      // 4×256 counter table replaces the exact per-key groupBy; estimates
+      // never undercount (SketchSpec pins est >= exact).
+      graft.stats.Sketch.heavyHitters(
+          ev(s, dir), col("user_id"), depth = 4, width = 256,
+          threshold = 150L)
+        .select(col("key").as("user_id"), col("est"), col("heavy"))
+    }),
+
+    "q97_winnowing" -> ((s, dir) =>
+      // MOSS winnowing fingerprints (k=8 char grams, w=4 window): the
+      // position-robust partial-overlap index. Pure projection + explode.
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.text.TextHash.winnow(col("text"), k = 8, w = 4))
+            .as("fp"))),
+
+    "q98_tool_args" -> ((s, dir) => {
+      // tool-call payload audit: typed extraction from the JSON props blob
+      // + per-conversation parse-health aggregation. A deterministic 1-in-7
+      // slice of payloads is corrupted in-query so the malformed path is
+      // actually exercised on both engines.
+      val dirty = when(pmod(col("event_id"), lit(7L)) === 0,
+        concat(lit("{"), col("props"))).otherwise(col("props"))
+      graft.temporal.ToolCalls.auditArgs(
+        ev(s, dir), groupCol = "user_id", payload = dirty, field = "k")
+    }),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2542,6 +2589,89 @@ object SparkEntry {
         |  array_to_string(list_transform(kept, x -> CAST(x.id AS VARCHAR)), ',')
         |    AS ctx_ids
         |FROM k""".stripMargin
+    },
+
+    "q95_interval_join" -> {
+      // intervals derived with the same lead() window; the join range
+      // predicate is identical; snap_value is a COPIED column (byte-exact).
+      """WITH snap AS (
+        |  SELECT user_id, ts AS eff_start,
+        |    arg_max(value, event_id) AS snap_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), dim AS (
+        |  SELECT user_id, eff_start, snap_value,
+        |    lead(eff_start) OVER (PARTITION BY user_id ORDER BY eff_start)
+        |      AS eff_end
+        |  FROM snap
+        |)
+        |SELECT f.event_id, f.user_id, d.eff_start, d.eff_end, d.snap_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') f
+        |LEFT JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.eff_start
+        |  AND (d.eff_end IS NULL OR f.ts < d.eff_end)""".stripMargin
+    },
+
+    "q96_cms_heavy" -> {
+      // the sketch is rebuilt in SQL with the same polyHash(key||':cms'||d)
+      // mod-width cells; min-of-depth-counters estimate; same threshold.
+      val hRow = OracleSqlGen.poly(
+        "(CAST(user_id AS VARCHAR) || ':cms' || CAST(t.d AS VARCHAR))")
+      val hKey = OracleSqlGen.poly(
+        "(CAST(k.user_id AS VARCHAR) || ':cms' || CAST(t.d AS VARCHAR))")
+      s"""WITH c AS (
+         |  SELECT t.d AS d, $hRow % 256 AS cell
+         |  FROM events CROSS JOIN range(0, 4) t(d)
+         |), sk AS (
+         |  SELECT d, cell, count(*) AS cnt FROM c GROUP BY 1, 2
+         |), k AS (SELECT DISTINCT user_id FROM events),
+         |e AS (
+         |  SELECT k.user_id, min(sk.cnt) AS est
+         |  FROM k CROSS JOIN range(0, 4) t(d)
+         |  JOIN sk ON sk.d = t.d AND sk.cell = $hKey % 256
+         |  GROUP BY 1
+         |)
+         |SELECT user_id, CAST(est AS BIGINT) AS est, est >= 150 AS heavy
+         |FROM e""".stripMargin
+    },
+
+    "q97_winnowing" -> {
+      // same k-gram polyHashes (full 8 chars guaranteed by the len filter),
+      // same min-per-window with the boundary rule, same distinct.
+      val h = OracleSqlGen.poly("substr(text, j, 8)")
+      s"""WITH p AS (
+         |  SELECT doc_id, text, len(text) - 7 AS n
+         |  FROM documents WHERE len(text) >= 8
+         |), h AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(1, n + 1), j -> $h) AS hs
+         |  FROM p
+         |)
+         |SELECT doc_id, unnest(list_distinct(
+         |  list_transform(range(1, greatest(n - 3, 1) + 1),
+         |    i -> list_min(hs[i:i + least(4, n) - 1])))) AS fp
+         |FROM h""".stripMargin
+    },
+
+    "q98_tool_args" -> {
+      // same 1-in-7 corruption; json_valid guards DuckDB's throwing
+      // extractor to match Spark's permissive null; int sums CAST to BIGINT.
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS s
+        |  FROM events
+        |), x AS (
+        |  SELECT user_id,
+        |    CASE WHEN json_valid(s)
+        |      THEN try_cast(json_extract_string(s, '$.k') AS BIGINT) END
+        |      AS arg
+        |  FROM p
+        |)
+        |SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN arg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad,
+        |  CAST(sum(arg) AS BIGINT) AS sum_arg,
+        |  max(arg) AS max_arg
+        |FROM x GROUP BY user_id""".stripMargin
     },
 
     "q94_fim" -> {

@@ -190,4 +190,32 @@ object TextHash {
       lit(0L),
       (acc, h) => pmod(acc * 131L + h, lit(M))
     )
+
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003):
+    * hash every char `k`-gram, slide a window of `w` consecutive k-gram
+    * hashes, keep each window's minimum, return the SORTED DISTINCT selected
+    * hashes. Guarantee: any shared substring of length >= k + w - 1 between
+    * two documents yields at least one shared fingerprint, while the
+    * selected set is ~2/(w+1) the density of the full k-gram set — the
+    * local-sampling property plain min-hashing lacks.
+    *
+    * Where [[fingerprint]] collapses a whole document to one order-free
+    * hash (canopy key) and [[Dedup]]'s shingle sets feed global Jaccard,
+    * winnowing gives POSITION-ROBUST partial-overlap detection: plagiarism-
+    * style reuse, license-block propagation, quote chains. Pure projection
+    * (no shuffle); cost O(len·k + grams·w) per row. Documents shorter than
+    * `k` select nothing. Fewer than `w` k-grams -> one fingerprint (the
+    * global minimum), per the paper's boundary rule.
+    */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    require(w >= 1, s"window must be >= 1, got $w")
+    val n = length(text) - (k - 1) // k-gram count (when length >= k)
+    val hs = transform(sequence(lit(1), n), i => polyHash(text.substr(i, lit(k))))
+    val winLen = least(lit(w), n)
+    val fps = array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(n - (w - 1), lit(1))),
+      i => array_min(slice(hs, i, winLen)))))
+    when(length(text) < k, array().cast("array<long>")).otherwise(fps)
+  }
 }

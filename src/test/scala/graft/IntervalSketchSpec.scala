@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.stats.Sketch
+import graft.temporal.{AsOf, Intervals, ToolCalls}
+import graft.text.TextHash
+
+/** Specs for the SCD-2 interval join, count-min sketch, winnowing
+  * fingerprints, and JSON tool-call audit operators.
+  */
+class IntervalSketchSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("intervalJoin on derived intervals ≡ asofJoin on the raw snapshots") {
+    // snapshots: per-key version history; facts probe at scattered times
+    val snaps = Seq(
+      ("u1", ts("2026-01-01 00:00:00"), 10.0),
+      ("u1", ts("2026-01-03 00:00:00"), 30.0),
+      ("u1", ts("2026-01-05 00:00:00"), 50.0),
+      ("u2", ts("2026-01-02 00:00:00"), 20.0)
+    ).toDF("k", "snap_ts", "v")
+    val facts = Seq(
+      (1L, "u1", ts("2025-12-31 00:00:00")), // pre-history -> null
+      (2L, "u1", ts("2026-01-01 00:00:00")), // inclusive start
+      (3L, "u1", ts("2026-01-02 23:59:59")),
+      (4L, "u1", ts("2026-01-03 00:00:00")), // exactly at version 2
+      (5L, "u1", ts("2026-01-09 00:00:00")), // open-ended tail
+      (6L, "u2", ts("2026-01-02 00:00:01")),
+      (7L, "u3", ts("2026-01-02 00:00:00"))  // unknown key -> null
+    ).toDF("fid", "k", "ts")
+
+    val dim = Intervals.validityIntervals(snaps, "k", "snap_ts")
+    val viaInterval = Intervals.intervalJoin(
+        facts, dim, key = "k", factTs = "ts",
+        startCol = "eff_start", endCol = "eff_end", payload = Seq("v"))
+      .select(col("fid"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+
+    val viaAsof = AsOf.asofJoin(
+        facts, snaps.withColumnRenamed("v", "av"), key = "k",
+        leftTs = "ts", rightTs = "snap_ts", tiebreak = "av",
+        payload = Seq("av"))
+      .select(col("fid"), col("av"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+
+    assert(viaInterval == viaAsof, "two point-in-time paths must agree")
+    assert(viaInterval(1L).isEmpty && viaInterval(7L).isEmpty)
+    assert(viaInterval(2L).contains(10.0), "validity start is inclusive")
+    assert(viaInterval(4L).contains(30.0), "new version wins at its own ts")
+    assert(viaInterval(5L).contains(50.0), "open-ended current version")
+    // left join over disjoint intervals is row-preserving, never multiplying
+    assert(Intervals.intervalJoin(facts, dim, "k", "ts",
+      "eff_start", "eff_end", Seq("v")).count() == facts.count())
+    assert(Intervals.intervalJoin(facts, dim, "k", "ts",
+      "eff_start", "eff_end", Seq("v"), joinType = "inner").count() == 5)
+  }
+
+  test("countMin never undercounts; heavyHitters thresholds on estimates") {
+    // zipf-ish: key k appears 2^(10-k) times -> exact counts are powers of 2
+    val rows = (0 until 10).flatMap(k => Seq.fill(1 << (10 - k))(s"key$k"))
+    val df = rows.toDF("k")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+    val est = Sketch.heavyHitters(df, col("k"), depth = 4, width = 64,
+        threshold = 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(est.length == 10)
+    est.foreach { case (k, e, heavy) =>
+      assert(e >= exact(k), s"CMS undercounted $k: $e < ${exact(k)}")
+      assert(heavy == (e >= 256L))
+    }
+    // the true heavies can never be missed (no undercount => no false neg)
+    val heavies = est.filter(_._3).map(_._1).toSet
+    exact.filter(_._2 >= 256L).keys.foreach(k =>
+      assert(heavies.contains(k), s"true heavy hitter $k missed"))
+    // sketch is constant-size: at most depth*width counters
+    assert(Sketch.countMin(df, col("k"), 4, 64).count() <= 4L * 64L)
+  }
+
+  test("winnow: SWA guarantee, boundary rules, density") {
+    val k = 8; val w = 4
+    val shared = "the quick brown fox jumps over" // len 30 >= k+w-1 = 11
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"zzzz yyyy $shared"),
+      (3L, "completely unrelated content here"),
+      (4L, "short"),            // len < k  -> no fingerprints
+      (5L, "ninechars")         // 9 chars -> 2 k-grams < w -> 1 fp (global min)
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextHash.winnow(col("text"), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+
+    // guarantee: shared substring of length >= k+w-1 => shared fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing a 30-char substring must share a fingerprint")
+    assert(fps(4L).isEmpty, "doc shorter than k selects nothing")
+    assert(fps(5L).size == 1, "fewer than w k-grams -> one global-min fp")
+    // the single fp IS the min of all k-gram hashes
+    val allH = docs.where(col("doc_id") === 5L)
+      .select(array_min(transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => TextHash.polyHash(col("text").substr(i, lit(k))))))
+      .head().getLong(0)
+    assert(fps(5L).head == allH)
+    // density: selected set is a strict subsample of the k-gram hashes
+    val full1 = docs.where(col("doc_id") === 1L)
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => TextHash.polyHash(col("text").substr(i, lit(k))))))
+      .distinct().count()
+    assert(fps(1L).size < full1, "winnowing must subsample the k-gram set")
+  }
+
+  test("auditArgs: malformed JSON and absent fields count as bad, never throw") {
+    val df = Seq(
+      ("c1", """{"k": 5, "other": "x"}"""),
+      ("c1", """{"k": 7}"""),
+      ("c1", """{"k": "not-a-number"}"""), // present but uncastable -> bad
+      ("c1", """{"j": 1}"""),              // field absent -> bad
+      ("c1", """{"k": 3"""),               // truncated JSON -> bad
+      ("c2", """{"k": -2}""")
+    ).toDF("conv", "props")
+    val out = ToolCalls.auditArgs(df, "conv", col("props"), "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("c1") == ((5L, 3L, Some(12L), Some(7L))))
+    assert(out("c2") == ((1L, 0L, Some(-2L), Some(-2L))))
+  }
+}
