@@ -293,4 +293,34 @@ class PlanAuditSpec extends GraftSuite {
       assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     }
   }
+
+  test("interval join (q95): equi hash join with range residual — never a theta/BNLJ") {
+    val p = plan(SparkEntry.queries("q95_interval_join")(spark, sfSmall))
+    assert(p.contains("HashJoin"), s"interval join must hash on the key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range residual must ride the equi join, not a nested loop:\n$p")
+  }
+
+  test("CMS (q96): sketch broadcasts to the estimate join; counters partial-agg") {
+    val p = plan(SparkEntry.queries("q96_cms_heavy")(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the depth x width sketch must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"sketch build must combine map-side:\n$p")
+  }
+
+  test("winnowing (q97): pure projection + explode — zero exchanges, no join") {
+    val p = plan(SparkEntry.queries("q97_winnowing")(spark, sfSmall))
+    assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+  }
+
+  test("tool-call audit (q98): one scan, one partial-agg'd aggregation, no join") {
+    val df = SparkEntry.queries("q98_tool_args")(spark, sfSmall)
+    val p = plan(df)
+    assert(p.contains("partial_"), s"audit must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"audit must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"audit must read events exactly once:\n$p")
+  }
 }
