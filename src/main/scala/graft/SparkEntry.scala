@@ -969,6 +969,23 @@ object SparkEntry {
         ev(s, dir), groupCol = "user_id", payload = dirty, field = "k")
     }),
 
+    "q99_hll_distinct" -> ((s, dir) =>
+      // HyperLogLog distinct-users-per-event-type: 64 registers per group,
+      // every intermediate exactly reproducible cross-engine (power-of-two
+      // harmonic sums are exact in binary64 whatever the merge order).
+      graft.stats.Sketch.hllDistinct(
+        ev(s, dir), groupCols = Seq("event_type"), key = col("user_id"),
+        b = 6)),
+
+    "q100_turn_repair" -> ((s, dir) =>
+      // transcript repair: merge consecutive same-role runs, drop the
+      // pre-anchor prefix, reindex densely. One shuffle feeds the segment
+      // window, the merge groupBy and both follow-up windows.
+      graft.temporal.TranscriptRepair.repair(
+        ev(s, dir), convCol = "user_id", orderCols = Seq("ts", "event_id"),
+        roleCol = "event_type", textCol = col("props"),
+        anchorRole = "click")),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2672,6 +2689,69 @@ object SparkEntry {
         |  CAST(sum(arg) AS BIGINT) AS sum_arg,
         |  max(arg) AS max_arg
         |FROM x GROUP BY user_id""".stripMargin
+    },
+
+    "q99_hll_distinct" -> {
+      // the full HLL rebuilt in SQL: same mix32(polyHash(key||':hll'))
+      // register cells (the xorshift mix is what makes the high bits
+      // rank-worthy), same (w+1)-bitlen rank via bin() (strips leading
+      // zeros in both engines), exact power-of-two harmonic sum, same
+      // small-range linear-counting switch, same 4dp round.
+      val h0 = OracleSqlGen.poly("(CAST(user_id AS VARCHAR) || ':hll')")
+      val h = OracleSqlGen.mix32("h0")
+      s"""WITH p AS (
+         |  SELECT event_type, $h0 AS h0 FROM events
+         |), hx AS (
+         |  SELECT event_type, $h AS h FROM p
+         |), r AS (
+         |  SELECT event_type, h % 64 AS idx,
+         |    CASE WHEN h // 64 = 0 THEN 27
+         |         ELSE 27 - len(bin(h // 64)) END AS rank
+         |  FROM hx
+         |), mx AS (
+         |  SELECT event_type, idx, max(rank) AS mj FROM r GROUP BY 1, 2
+         |), g AS (
+         |  SELECT event_type, 64.0 - count(*) AS zeros,
+         |    sum(power(2.0, -mj)) AS sp
+         |  FROM mx GROUP BY 1
+         |)
+         |SELECT event_type,
+         |  round(CASE WHEN (0.709 * 4096 / (zeros + sp)) <= 160 AND zeros > 0
+         |    THEN 64.0 * ln(64.0 / zeros)
+         |    ELSE 0.709 * 4096 / (zeros + sp) END, 4) AS hll_est
+         |FROM g""".stripMargin
+    },
+
+    "q100_turn_repair" -> {
+      // same segment derivation (lag-change cumsum), ordered string_agg
+      // with chr(10), same anchor trim and dense reindex; row_number cast
+      // to INT to match Spark's IntegerType.
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type AS role,
+        |    coalesce(props, '') AS t,
+        |    CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |), s AS (
+        |  SELECT *, sum(chg) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+        |  FROM o
+        |), g AS (
+        |  SELECT user_id, seg, min(role) AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n_merged,
+        |    string_agg(t, chr(10) ORDER BY ts, event_id) AS text
+        |  FROM s GROUP BY 1, 2
+        |), a AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' THEN seg END)
+        |    OVER (PARTITION BY user_id) AS fa
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY seg) - 1
+        |    AS INT) AS turn_idx,
+        |  event_type, text, n_merged
+        |FROM a WHERE seg >= fa""".stripMargin
     },
 
     "q94_fim" -> {

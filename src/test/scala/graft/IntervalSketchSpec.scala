@@ -120,6 +120,53 @@ class IntervalSketchSpec extends GraftSuite {
     assert(fps(1L).size < full1, "winnowing must subsample the k-gram set")
   }
 
+  test("hllDistinct: accuracy within the m=64 error band; parallelism-invariant") {
+    // three groups of known cardinality; values deliberately collide across
+    // groups (the sketch is per-group)
+    val rows = (0 until 2000).map(i => ("big", s"v${i % 1700}")) ++
+      (0 until 500).map(i => ("mid", s"v${i % 230}")) ++
+      (0 until 40).map(i => ("small", s"v${i % 17}"))
+    val df = rows.toDF("g", "k")
+    def run(parts: Int): Map[String, Double] =
+      graft.stats.Sketch.hllDistinct(df.repartition(parts), Seq("g"), col("k"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val est = run(4)
+    // 1.04/sqrt(64) ~= 13% standard error; allow 3 sigma
+    val exact = Map("big" -> 1700.0, "mid" -> 230.0, "small" -> 17.0)
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= 0.39 * n + 3,
+        s"group $g: est ${est(g)} too far from $n")
+    }
+    assert(run(1) == est && run(13) == est,
+      "HLL estimate must be bit-identical at any parallelism")
+  }
+
+  test("turn repair: merges runs, drops pre-anchor prefix, reindexes densely") {
+    val t = Seq(
+      // c1: boot noise, then user; assistant streamed as 3 rows; retry user
+      ("c1", 1L, "system", "boot"),
+      ("c1", 2L, "user", "hi"),
+      ("c1", 3L, "assistant", "he"),
+      ("c1", 4L, "assistant", "llo"),
+      ("c1", 5L, "assistant", null),
+      ("c1", 6L, "user", "q1"),
+      ("c1", 7L, "user", "q1 again"),
+      // c2: no user turn at all -> dropped whole
+      ("c2", 1L, "system", "x"),
+      ("c2", 2L, "assistant", "y")
+    ).toDF("conv", "tid", "role", "txt")
+    val out = graft.temporal.TranscriptRepair.repair(
+        t, "conv", Seq("tid"), "role", col("txt"), anchorRole = "user")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.forall(_._1 == "c1"), "anchorless conversation must drop")
+    val c1 = out.sortBy(_._2)
+    assert(c1.map(x => (x._2, x._3, x._4, x._5)).toSeq == Seq(
+      (0, "user", "hi", 1L),
+      (1, "assistant", "he\nllo\n", 3L), // null text merges as empty
+      (2, "user", "q1\nq1 again", 2L)))
+  }
+
   test("auditArgs: malformed JSON and absent fields count as bad, never throw") {
     val df = Seq(
       ("c1", """{"k": 5, "other": "x"}"""),

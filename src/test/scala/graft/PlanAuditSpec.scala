@@ -315,6 +315,24 @@ class PlanAuditSpec extends GraftSuite {
     assert(!p.contains("Join"), s"winnowing must not join:\n$p")
   }
 
+  test("HLL (q99): both aggregations partial; constant register fan-in") {
+    val p = plan(SparkEntry.queries("q99_hll_distinct")(spark, sfSmall))
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"register maxima must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"HLL must not join:\n$p")
+  }
+
+  test("turn repair (q100): ONE exchange feeds segment window, merge groupBy and reindex") {
+    val df = SparkEntry.queries("q100_turn_repair")(spark, sfSmall)
+    df.collect() // finalize adaptive plan
+    // count in the final plan only — the AQE string repeats the exchange
+    // under "== Initial Plan =="
+    val p = plan(df).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"repair should shuffle exactly once, got $exchanges:\n$p")
+  }
+
   test("tool-call audit (q98): one scan, one partial-agg'd aggregation, no join") {
     val df = SparkEntry.queries("q98_tool_args")(spark, sfSmall)
     val p = plan(df)
