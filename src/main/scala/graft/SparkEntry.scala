@@ -986,6 +986,16 @@ object SparkEntry {
         roleCol = "event_type", textCol = col("props"),
         anchorRole = "click")),
 
+    "q101_blocklist" -> ((s, dir) =>
+      // banned-term gate: whole-token word matches + sentinel-padded
+      // canonical phrase matches. Pure projection, list baked as literals.
+      graft.text.Blocklist.score(
+          Tables.load(s, dir, "documents"), col("text"),
+          terms = Seq("dup", "slow", "sort merge", "batch batch batch",
+            "Table  Scan")) // canonicalization folds case + inner whitespace
+        .select(col("doc_id"), col("n_word_hits"), col("n_phrase_hits"),
+          col("blocked"))),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2752,6 +2762,31 @@ object SparkEntry {
         |    AS INT) AS turn_idx,
         |  event_type, text, n_merged
         |FROM a WHERE seg >= fa""".stripMargin
+    },
+
+    "q101_blocklist" -> {
+      // same canonicalized term lists (words sorted/deduped, phrases
+      // whitespace-folded), token-set intersect for words, sentinel-padded
+      // contains for phrases; len() casts to INT to match Spark size().
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '
+        |      AS pad,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(tk, ['dup', 'slow'])) AS INT)
+        |    AS n_word_hits,
+        |  CAST(len(list_filter(['batch batch batch', 'sort merge',
+        |    'table scan'], ph -> contains(pad, ' ' || ph || ' '))) AS INT)
+        |    AS n_phrase_hits,
+        |  (len(list_intersect(tk, ['dup', 'slow'])) > 0 OR
+        |   len(list_filter(['batch batch batch', 'sort merge',
+        |     'table scan'], ph -> contains(pad, ' ' || ph || ' '))) > 0)
+        |    AS blocked
+        |FROM p""".stripMargin
     },
 
     "q94_fim" -> {

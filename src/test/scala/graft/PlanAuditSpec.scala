@@ -333,6 +333,12 @@ class PlanAuditSpec extends GraftSuite {
       s"repair should shuffle exactly once, got $exchanges:\n$p")
   }
 
+  test("blocklist (q101): pure projection — zero exchanges, no join, literal lists") {
+    val p = plan(SparkEntry.queries("q101_blocklist")(spark, sfSmall))
+    assert(!p.contains("Exchange"), s"blocklist must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"blocklist must not join:\n$p")
+  }
+
   test("tool-call audit (q98): one scan, one partial-agg'd aggregation, no join") {
     val df = SparkEntry.queries("q98_tool_args")(spark, sfSmall)
     val p = plan(df)

@@ -121,4 +121,30 @@ class TextSpec extends GraftSuite {
     val f2 = feats.find(_.asset_id == 2L).get
     assert(f1.checksum == f2.checksum && f1.feature.sameElements(f2.feature))
   }
+
+  test("blocklist: whole-token words, whitespace-robust phrases, canonicalized terms") {
+    import graft.text.Blocklist
+    val docs = Seq(
+      (1L, "the class is in session"),        // "ass" must NOT hit inside "class"
+      (2L, "an ass appeared"),                 // whole token hits
+      (3L, "a bad   ACTOR\tshowed up"),        // phrase across whitespace + case
+      (4L, "bad actors everywhere"),            // "bad actor" must NOT hit "bad actors"
+      (5L, "ASS and a bad actor"),              // word + phrase, both hit
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = Blocklist.score(docs, col("text"),
+        terms = Seq("ass", " Bad\t Actor ", "ass")) // dup + messy canonical forms
+      .select("doc_id", "n_word_hits", "n_phrase_hits", "blocked")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((0, 0, false)))
+    assert(out(2L) == ((1, 0, true)))
+    assert(out(3L) == ((0, 1, true)))
+    assert(out(4L) == ((0, 0, false)))
+    assert(out(5L) == ((1, 1, true)))
+    assert(out(6L) == ((0, 0, false)))
+    intercept[IllegalArgumentException] {
+      Blocklist.score(docs, col("text"), terms = Seq("ok", "  "))
+    }
+  }
 }
