@@ -996,6 +996,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_word_hits"), col("n_phrase_hits"),
           col("blocked"))),
 
+    "q102_zipf" -> ((s, dir) =>
+      // per-language Zipf fit over the top-100 token rank-frequency curve:
+      // integer micro-unit ln sums, binary64 finish from exact sums.
+      graft.text.Retrieval.zipfFit(
+        Tables.load(s, dir, "documents"), "text", "lang", topK = 100)),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2787,6 +2793,51 @@ object SparkEntry {
         |     'table scan'], ph -> contains(pad, ' ' || ph || ' '))) > 0)
         |    AS blocked
         |FROM p""".stripMargin
+    },
+
+    "q102_zipf" -> {
+      // same micro-quantized ln, exact integer sums, same binary64 op
+      // order from CAST sums, same 6dp round. count(*)/sums CAST to BIGINT
+      // (DuckDB HUGEINT otherwise).
+      """WITH t AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''))
+        |    AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC)
+        |      AS rank, c
+        |  FROM c QUALIFY rank <= 100
+        |), q AS (
+        |  SELECT lang,
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM r
+        |), g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_top,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM q GROUP BY 1
+        |)
+        |, f AS (
+        |  SELECT lang, n_top,
+        |    CAST(n_top AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n_top AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n_top AS DOUBLE)*CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary
+        |  FROM g
+        |)
+        |SELECT lang AS stratum, n_top,
+        |  CASE WHEN varx <> 0 THEN round(-cov / varx, 6) END AS zipf_alpha,
+        |  CASE WHEN varx <> 0 AND vary <> 0
+        |    THEN round(cov * cov / (varx * vary), 6) END AS r2
+        |FROM f""".stripMargin
     },
 
     "q94_fim" -> {

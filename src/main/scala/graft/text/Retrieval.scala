@@ -258,4 +258,77 @@ object Retrieval {
     df.select(col(idCol)).join(scored.withColumnRenamed("__id", idCol),
       Seq(idCol), "left")
   }
+
+  /** Zipf power-law fit per stratum — the corpus-health diagnostic: least-
+    * squares slope of `ln(freq) ~ ln(rank)` over the top-`topK` tokens.
+    * Natural text sits near `alpha ≈ 1` with high `r2`; template/boilerplate
+    * floods flatten the curve (small alpha) and break the linearity (low
+    * r2), so drift in either is an early warning on an ingest slice before
+    * any per-document gate fires.
+    *
+    * Determinism doctrine (the q60/q70 idiom): each `ln` is quantized to
+    * integer micro-units at the row level; every SUM is exact integer
+    * arithmetic; the final slope/r2 are computed in binary64 FROM the exact
+    * integer sums with the same operation order in the oracle SQL, then
+    * rounded — no float aggregation order anywhere.
+    *
+    * Shape (the 100 TB story): one explode + one partial-agg groupBy build
+    * the counts; the rank window runs over the AGGREGATED per-stratum vocab
+    * (the q69 `topNgrams` shape), is cut to `topK` rows per stratum, and the
+    * regression is one more partial-agg groupBy over ≤ `topK` rows per
+    * stratum. Token magnitudes: micro-quantized `ln` sums of products stay
+    * under 2^63 for `topK ≤ 1000` and corpus counts to ~e^300.
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      stratumCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 3 && topK <= 1000, s"topK must be in [3,1000], got $topK")
+    val counts = df
+      .select(col(stratumCol).as("stratum"),
+        explode(TextHash.lowerTokens(col(textCol))).as("__tok"))
+      .groupBy(col("stratum"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("__c").desc, col("__tok").asc)
+    val top = counts.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= topK)
+      .select(col("stratum"),
+        floor(log(col("__rank").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("__x"),
+        floor(log(col("__c").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("__y"))
+    top.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col("stratum"), col("n_top"), {
+        // binary64 arithmetic over EXACT integer sums, identical op order
+        // in the oracle; 1e-12 of slope scale vs 5e-7 round boundary
+        val n = col("n_top").cast("double")
+        val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+        val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+        val syy = col("__syy").cast("double")
+        val cov = n * sxy - sx * sy
+        val varx = n * sxx - sx * sx
+        // degenerate strata (constant rank impossible, but guard anyway)
+        when(varx =!= 0.0, round(-cov / varx, 6)).as("zipf_alpha")
+      }, {
+        val n = col("n_top").cast("double")
+        val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+        val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+        val syy = col("__syy").cast("double")
+        val cov = n * sxy - sx * sy
+        val varx = n * sxx - sx * sx
+        val vary = n * syy - sy * sy
+        // a constant-frequency stratum (vary = 0, exact integer zero) has
+        // no meaningful fit quality: r2 is null, not 0/0
+        when(varx =!= 0.0 && vary =!= 0.0,
+          round(cov * cov / (varx * vary), 6)).as("r2")
+      })
+  }
 }

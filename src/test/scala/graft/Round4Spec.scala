@@ -586,4 +586,28 @@ class Round4Spec extends GraftSuite {
         Seq("x" -> Seq("a"), "x" -> Seq("b")))
     }
   }
+
+  test("zipfFit: recovers the exponent of a synthetic power law; parallelism-invariant") {
+    // stratum "z1": token w_r appears floor(2000/r^1.0) times (alpha=1);
+    // stratum "flat": every token equally often (alpha ~= 0, r2 ~= 0 band)
+    val z1 = (1 to 120).flatMap(r => Seq.fill(2000 / r)(s"w$r"))
+    val flat = (1 to 120).flatMap(r => Seq.fill(50)(s"u$r"))
+    // one row per doc of ~25 tokens, stable grouping
+    def docs(toks: Seq[String], tag: String) =
+      toks.grouped(25).zipWithIndex.map { case (g, i) => (tag, g.mkString(" ")) }.toSeq
+    val df = (docs(z1, "z1") ++ docs(flat, "flat")).toDF("lang", "text")
+    def run(parts: Int) = Retrieval.zipfFit(df.repartition(parts), "text", "lang", topK = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val out = run(7)
+    val (n1, a1, r2a) = out("z1")
+    assert(n1 == 100L)
+    assert(math.abs(a1.get - 1.0) < 0.08, s"alpha $a1 should be ~1 for a 1/r corpus")
+    assert(r2a.get > 0.98, s"power law should fit tightly, r2=$r2a")
+    val (_, aFlat, r2Flat) = out("flat")
+    assert(math.abs(aFlat.get) < 0.05, s"uniform corpus has no slope, got $aFlat")
+    assert(r2Flat.isEmpty, "constant-frequency stratum has null fit quality")
+    assert(run(1) == out && run(13) == out, "zipf fit must be parallelism-invariant")
+  }
 }
