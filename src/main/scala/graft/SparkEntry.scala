@@ -1002,6 +1002,21 @@ object SparkEntry {
       graft.text.Retrieval.zipfFit(
         Tables.load(s, dir, "documents"), "text", "lang", topK = 100)),
 
+    "q103_card_luhn" -> ((s, dir) => {
+      // Luhn-verified card detection: candidates by shape, validity by
+      // checksum. Valid PAN injected into every 3rd doc, shape-only digit
+      // run into every 5th — the checksum separates them on both engines.
+      import graft.text.Redact
+      val t2 = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit(" pay 4539 1488 0343 6467 now")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          lit(" ref 1234-5678-9012-3456 end")).otherwise(lit("")))
+      val (nCand, nValid) = Redact.cardCounts(t2)
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        nCand.as("n_card_shaped"), nValid.as("n_luhn_valid"))
+    }),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2838,6 +2853,37 @@ object SparkEntry {
         |  CASE WHEN varx <> 0 AND vary <> 0
         |    THEN round(cov * cov / (varx * vary), 6) END AS r2
         |FROM f""".stripMargin
+    },
+
+    "q103_card_luhn" -> {
+      // same injection, same candidate regex (Java∩RE2), same digit strip,
+      // same right-to-left Luhn fold as a list_reduce.
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' pay 4539 1488 0343 6467 now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' ref 1234-5678-9012-3456 end' ELSE '' END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, list_transform(
+        |    regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b'),
+        |    x -> regexp_replace(x, '[^0-9]', '', 'g')) AS cands
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS BIGINT) AS n_card_shaped,
+        |  CAST(len(list_filter(cands, d ->
+        |    len(d) BETWEEN 13 AND 19 AND
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(d) + 1), i ->
+        |        CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN CAST(substr(d, len(d)-i+1, 1) AS BIGINT)*2 > 9
+        |            THEN CAST(substr(d, len(d)-i+1, 1) AS BIGINT)*2 - 9
+        |            ELSE CAST(substr(d, len(d)-i+1, 1) AS BIGINT)*2 END
+        |        ELSE CAST(substr(d, len(d)-i+1, 1) AS BIGINT) END)),
+        |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+        |FROM c""".stripMargin
     },
 
     "q94_fim" -> {

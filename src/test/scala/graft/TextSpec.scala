@@ -147,4 +147,34 @@ class TextSpec extends GraftSuite {
       Blocklist.score(docs, col("text"), terms = Seq("ok", "  "))
     }
   }
+
+  test("luhn: ISO test numbers validate, separators stripped, bounds enforced") {
+    import graft.text.Redact
+    val rows = Seq(
+      (1L, "pay 4539 1488 0343 6467 now"),   // valid 16-digit visa test
+      (2L, "amex 3782-8224-6310-005 ok"),    // valid 15-digit
+      (3L, "ref 1234 5678 9012 3456"),       // shape ok, checksum fails
+      (4L, "short 1234 5678 9012"),          // 12 digits: below bound
+      (5L, "no digits at all"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val (nc, nv) = Redact.cardCounts(col("t"))
+    val out = rows.select(col("id"), nc.as("c"), nv.as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((1L, 0L)))
+    assert(out(4L) == ((0L, 0L)), "12 digits must not even be a candidate")
+    assert(out(5L) == ((0L, 0L)))
+    assert(out(6L) == ((0L, 0L)), "null text counts zero candidates")
+    // direct checksum truth table: 13-digit valid (leading zeros keep the
+    // sum), same number off-by-one invalid, classic 11-digit valid-checksum
+    // number rejected by the length bound
+    val lv = Seq(("0079927398713", true), ("0079927398714", false),
+        ("79927398713", false))
+      .toDF("d", "want")
+      .select(Redact.luhnValid(col("d")).as("got"), col("want"))
+      .collect()
+    assert(lv.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+  }
 }
