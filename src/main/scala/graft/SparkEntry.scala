@@ -1017,6 +1017,13 @@ object SparkEntry {
         nCand.as("n_card_shaped"), nValid.as("n_luhn_valid"))
     }),
 
+    "q104_pmi" -> ((s, dir) =>
+      // PMI collocations: token pairs co-occurring beyond chance. Integer
+      // micro-unit pmi, totals broadcast, top-k as TakeOrdered.
+      graft.text.Retrieval.pmiCollocations(
+        Tables.load(s, dir, "documents"), "text", minCount = 30L,
+        topK = 20)),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2884,6 +2891,43 @@ object SparkEntry {
         |        ELSE CAST(substr(d, len(d)-i+1, 1) AS BIGINT) END)),
         |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
         |FROM c""".stripMargin
+    },
+
+    "q104_pmi" -> {
+      // same clean-token bigrams, same integer micro-unit pmi decomposition
+      // q(cb)-q(Nb)-q(c1)-q(c2)+2q(Nu), same (pmi, gram) tie-broken top-20.
+      val tkExpr =
+        s"list_filter(${OracleSqlGen.toks("lower(text)")}, t -> NOT contains(t, chr(1)))"
+      """WITH p AS (
+        |  SELECT <TK> AS tk FROM documents
+        |), u AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(tk) AS tok FROM p) GROUP BY 1
+        |), b AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+        |          i -> array_to_string(tk[i:i+1], chr(1)))) AS g
+        |        FROM p WHERE len(tk) >= 2) GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM u) AS nu,
+        |         (SELECT CAST(sum(cb) AS BIGINT) FROM b) AS nb
+        |), j AS (
+        |  SELECT b.g, b.cb,
+        |    CAST(floor(ln(CAST(b.cb AS DOUBLE))*1e6+0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(t.nb AS DOUBLE))*1e6+0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(u1.cu AS DOUBLE))*1e6+0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(u2.cu AS DOUBLE))*1e6+0.5) AS BIGINT)
+        |    + 2*CAST(floor(ln(CAST(t.nu AS DOUBLE))*1e6+0.5) AS BIGINT)
+        |      AS pmi_u
+        |  FROM b, tot t, u u1, u u2
+        |  WHERE b.cb >= 30
+        |    AND u1.tok = string_split(b.g, chr(1))[1]
+        |    AND u2.tok = string_split(b.g, chr(1))[2]
+        |)
+        |SELECT replace(g, chr(1), ' ') AS gram, cb AS n_pair,
+        |  round(CAST(pmi_u AS DOUBLE) / 1e6, 6) AS pmi
+        |FROM j ORDER BY pmi_u DESC, g ASC LIMIT 20"""
+        .stripMargin.replace("<TK>", tkExpr)
     },
 
     "q94_fim" -> {

@@ -259,6 +259,60 @@ object Retrieval {
       Seq(idCol), "left")
   }
 
+  /** PMI collocation mining — surface the token pairs that co-occur far
+    * beyond chance: `pmi(a,b) = ln(p(ab) / (p(a)·p(b)))` with bigram and
+    * unigram probabilities from the corpus itself. High-PMI pairs are the
+    * multiword expressions / entities / boilerplate markers a tokenizer or
+    * blocklist should know about; `minCount` cuts the classic low-frequency
+    * PMI explosion (a pair seen twice can have a sky-high ratio).
+    *
+    * Determinism: pmi decomposes as `q(c_ab) − q(N_b) − q(c_a) − q(c_b) +
+    * 2·q(N_u)` with every `q(x) = round(ln(x)·1e6)` an integer — pure
+    * integer arithmetic after the counts, ranked on the integer, rounded
+    * for display only.
+    *
+    * Shape (the 100 TB story): unigram + bigram counts are partial-agg
+    * groupBys; the pair table joins its two word counts as ordinary equi
+    * joins (vocab-sized, shuffle-safe); the two corpus totals ride in as a
+    * broadcast single row; top-K is TakeOrderedAndProject, never a global
+    * sort.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    def q(x: Column): Column =
+      floor(log(x.cast("double")) * 1e6 + 0.5).cast("long")
+    val prepped = df.select(
+      cleanTokens(TextHash.lowerTokens(col(textCol))).as("__tk"))
+    val uni = prepped.select(explode(col("__tk")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cu"))
+    val bi = prepped
+      .select(explode(graft.text.TextQuality.wordNgrams(col("__tk"), 2))
+        .as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__cb"))
+    val totals = broadcast(
+      uni.agg(sum(col("__cu")).as("__nu"))
+        .crossJoin(bi.agg(sum(col("__cb")).as("__nb"))))
+    val u1 = uni.select(col("__tok").as("__w1"), col("__cu").as("__c1"))
+    val u2 = uni.select(col("__tok").as("__w2"), col("__cu").as("__c2"))
+    bi.where(col("__cb") >= minCount)
+      .withColumn("__w1", split(col("__g"), "\u0001").getItem(0))
+      .withColumn("__w2", split(col("__g"), "\u0001").getItem(1))
+      .join(u1, Seq("__w1")).join(u2, Seq("__w2"))
+      .crossJoin(totals)
+      .withColumn("__pmi_u", q(col("__cb")) - q(col("__nb")) -
+        q(col("__c1")) - q(col("__c2")) + lit(2L) * q(col("__nu")))
+      .orderBy(col("__pmi_u").desc, col("__g").asc)
+      .limit(topK)
+      .select(
+        regexp_replace(col("__g"), "\u0001", " ").as("gram"),
+        col("__cb").as("n_pair"),
+        round(col("__pmi_u").cast("double") / 1e6, 6).as("pmi"))
+  }
+
   /** Zipf power-law fit per stratum — the corpus-health diagnostic: least-
     * squares slope of `ln(freq) ~ ln(rank)` over the top-`topK` tokens.
     * Natural text sits near `alpha ≈ 1` with high `r2`; template/boilerplate

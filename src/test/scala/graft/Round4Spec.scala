@@ -610,4 +610,45 @@ class Round4Spec extends GraftSuite {
     assert(r2Flat.isEmpty, "constant-frequency stratum has null fit quality")
     assert(run(1) == out && run(13) == out, "zipf fit must be parallelism-invariant")
   }
+
+  test("PMI collocations: exact driver replay incl. quantization, minCount, tie-break") {
+    // mixed corpus: a hard-bound pair, a sometimes-bound pair, hash-scattered
+    // fillers; doc = "f1 f2 san francisco" or "f1 f2 new york"/"new jersey"
+    val docs = (0 until 300).map { i =>
+      val f1 = s"w${(i * 2654435761L % 7).toInt}"
+      val f2 = s"v${(i * 40503L % 5).toInt}"
+      val tail = if (i % 3 == 0) "san francisco"
+                 else if (i % 3 == 1) "new york" else "new jersey"
+      (i.toLong, s"$f1 $f2 $tail")
+    }.toDF("doc_id", "text")
+    val got = Retrieval.pmiCollocations(docs, "text", minCount = 40L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // driver replay of the exact integer-quantized arithmetic
+    val texts = (0 until 300).map { i =>
+      val f1 = s"w${(i * 2654435761L % 7).toInt}"
+      val f2 = s"v${(i * 40503L % 5).toInt}"
+      val tail = if (i % 3 == 0) "san francisco"
+                 else if (i % 3 == 1) "new york" else "new jersey"
+      s"$f1 $f2 $tail"
+    }
+    val toks = texts.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = toks.flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nu = uni.values.sum; val nb = bi.values.sum
+    def q(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val want = bi.toSeq.filter(_._2 >= 40L).map { case ((a, b), cab) =>
+      val pmiU = q(cab) - q(nb) - q(uni(a)) - q(uni(b)) + 2 * q(nu)
+      (s"$a $b", cab, pmiU)
+    }.sortBy { case (g, _, p) => (-p, g) }.take(10).map { case (g, c, p) =>
+      (g, c, BigDecimal(p.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // the hard-bound pair must out-rank the split pair with the same left word
+    val rank = got.map(_._1).zipWithIndex.toMap
+    assert(rank("san francisco") < rank("new york"),
+      "always-bound pair must score above the 50/50-bound pair")
+  }
 }
