@@ -41,13 +41,17 @@ object Blocklist {
       else size(array_intersect(
         TextHash.lowerTokens(textCol),
         lit(words.sorted.toArray)))
-    // sentinel-padded canonical text: phrase boundaries are exactly spaces
+    // sentinel-padded canonical text: phrase boundaries are exactly spaces.
+    // Let-bound through a single-element transform (the TextHash.winnow
+    // idiom): referenced directly inside the filter lambda, the
+    // regexp_replace would re-run once PER PHRASE per row.
     val padded = concat(lit(" "),
       regexp_replace(lower(trim(textCol)), "\\s+", " "), lit(" "))
     val phraseHits =
       if (phrases.isEmpty) lit(0)
-      else size(filter(lit(phrases.sorted.toArray),
-        p => contains(padded, concat(lit(" "), p, lit(" ")))))
+      else element_at(transform(array(padded), pad =>
+        size(filter(lit(phrases.sorted.toArray),
+          p => contains(pad, concat(lit(" "), p, lit(" ")))))), 1)
 
     df.withColumn("n_word_hits", wordHits)
       .withColumn("n_phrase_hits", phraseHits)
