@@ -1024,6 +1024,22 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", minCount = 30L,
         topK = 20)),
 
+    "q105_snapshot_diff" -> ((s, dir) => {
+      // CDC between two synthetic table versions: the %17 slice is absent
+      // from old (=> added), the %19 slice absent from new (=> removed),
+      // the %13 slice value-bumped (=> changed). One full-outer join over
+      // narrow (key, digest) rows. Digests compare within-engine only, so
+      // double->string format differences across engines are harmless.
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val oldV = e.where(pmod(col("event_id"), lit(17L)) =!= 0)
+      val newV = e.where(pmod(col("event_id"), lit(19L)) =!= 0)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(13L)) === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      graft.lake.Cdc.diff(oldV, newV, keyCols = Seq("event_id"),
+        compareCols = Seq("user_id", "value"))
+    }),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2928,6 +2944,35 @@ object SparkEntry {
         |  round(CAST(pmi_u AS DOUBLE) / 1e6, 6) AS pmi
         |FROM j ORDER BY pmi_u DESC, g ASC LIMIT 20"""
         .stripMargin.replace("<TK>", tkExpr)
+    },
+
+    "q105_snapshot_diff" -> {
+      // same version construction, same chr(31)/chr(0) digest fields, same
+      // status derivation from the full outer join.
+      """WITH e AS (
+        |  SELECT event_id, user_id, value FROM events
+        |), o AS (
+        |  SELECT event_id, md5(concat_ws(chr(31),
+        |    coalesce(CAST(user_id AS VARCHAR), chr(0)),
+        |    coalesce(CAST(value AS VARCHAR), chr(0)))) AS od
+        |  FROM e WHERE event_id % 17 <> 0
+        |), n AS (
+        |  SELECT event_id, md5(concat_ws(chr(31),
+        |    coalesce(CAST(user_id AS VARCHAR), chr(0)),
+        |    coalesce(CAST(CASE WHEN event_id % 13 = 0 THEN value + 1.0
+        |      ELSE value END AS VARCHAR), chr(0)))) AS nd
+        |  FROM e WHERE event_id % 19 <> 0
+        |)
+        |SELECT coalesce(o.event_id, n.event_id) AS event_id,
+        |  CASE WHEN o.event_id IS NULL THEN 'added'
+        |       WHEN n.event_id IS NULL THEN 'removed'
+        |       WHEN od <> nd THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+        |WHERE CASE WHEN o.event_id IS NULL THEN 'added'
+        |       WHEN n.event_id IS NULL THEN 'removed'
+        |       WHEN od <> nd THEN 'changed'
+        |       ELSE 'unchanged' END <> 'unchanged'""".stripMargin
     },
 
     "q94_fim" -> {

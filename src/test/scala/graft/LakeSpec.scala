@@ -59,4 +59,36 @@ class LakeSpec extends GraftSuite {
     assert(metrics.size == 6)
     assert(metrics.get(0).contains("\"rowsPerSec\""))
   }
+
+  test("Cdc.diff: add/remove/change/unchanged truth table incl. null transitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.lake.Cdc
+    val oldV = Seq(
+      (1L, Some("a"), Some(1.0)),   // unchanged
+      (2L, Some("b"), Some(2.0)),   // changed value
+      (3L, Some("c"), None),        // null -> value = changed
+      (4L, Some("d"), Some(4.0)),   // removed
+      (6L, None, Some(6.0))         // null stays null = unchanged
+    ).toDF("k", "u", "v")
+    val newV = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(2.5)),
+      (3L, Some("c"), Some(3.0)),
+      (5L, Some("e"), Some(5.0)),   // added
+      (6L, None, Some(6.0))
+    ).toDF("k", "u", "v")
+    val got = Cdc.diff(oldV, newV, Seq("k"), Seq("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    val all = Cdc.diff(oldV, newV, Seq("k"), Seq("u", "v"),
+      includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "unchanged" && all(6L) == "unchanged" && all.size == 6)
+    // null sentinel is distinct from the empty string and from "null" text
+    val o2 = Seq((1L, Some(""))).toDF("k", "v")
+    val n2 = Seq((1L, Option.empty[String])).toDF("k", "v")
+    assert(Cdc.diff(o2, n2, Seq("k"), Seq("v")).head().getString(1) == "changed")
+  }
 }
