@@ -1040,6 +1040,20 @@ object SparkEntry {
         compareCols = Seq("user_id", "value"))
     }),
 
+    "q106_rate_anomaly" -> ((s, dir) => {
+      // ingest-rate spike detection: daily per-type counts z-scored
+      // against their own trailing week; a deterministic burst is injected
+      // by doubling one day's rows so the spike path actually fires.
+      val e = ev(s, dir)
+      val burst = e.where(dayofmonth(col("ts")) === 15)
+      graft.stats.Anomaly.rateSpikes(
+          e.unionByName(burst), tsCol = "ts", groupCol = "event_type",
+          bucket = "day", window = 7, minHist = 3, zThreshold = 3.0)
+        // date_trunc promotes NTZ to LTZ, which parquet-writes as INT96/ns;
+        // cast back so the driver's dtype compare sees µs on both sides
+        .withColumn("bucket_ts", col("bucket_ts").cast("timestamp_ntz"))
+    }),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -2973,6 +2987,42 @@ object SparkEntry {
         |       WHEN n.event_id IS NULL THEN 'removed'
         |       WHEN od <> nd THEN 'changed'
         |       ELSE 'unchanged' END <> 'unchanged'""".stripMargin
+    },
+
+    "q106_rate_anomaly" -> {
+      // same injected burst, same LONG window sums, same binary64 z from
+      // exact sums (n*sq - s^2 form), same ROWS trailing frame.
+      """WITH e AS (
+        |  SELECT * FROM events
+        |  UNION ALL
+        |  SELECT * FROM events WHERE date_part('day', ts) = 15
+        |), c AS (
+        |  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2
+        |), h AS (
+        |  SELECT event_type, bucket_ts, cnt,
+        |    CAST(count(cnt) OVER w AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS s,
+        |    CAST(sum(cnt*cnt) OVER w AS BIGINT) AS sq
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), f AS (
+        |  SELECT event_type, bucket_ts, cnt, n,
+        |    CAST(n AS DOUBLE)*CAST(sq AS DOUBLE)
+        |      - CAST(s AS DOUBLE)*CAST(s AS DOUBLE) AS varn,
+        |    (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE)*CAST(sq AS DOUBLE)
+        |          - CAST(s AS DOUBLE)*CAST(s AS DOUBLE))
+        |        / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS zraw
+        |  FROM h
+        |)
+        |SELECT event_type, bucket_ts, cnt,
+        |  CASE WHEN n >= 3 AND varn > 0 THEN round(zraw, 6) END AS z,
+        |  coalesce(CASE WHEN n >= 3 AND varn > 0 THEN round(zraw, 6) END
+        |    >= 3.0, false) AS spike
+        |FROM f""".stripMargin
     },
 
     "q94_fim" -> {

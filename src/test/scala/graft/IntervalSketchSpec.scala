@@ -182,4 +182,41 @@ class IntervalSketchSpec extends GraftSuite {
     assert(out("c1") == ((5L, 3L, Some(12L), Some(7L))))
     assert(out("c2") == ((1L, 0L, Some(-2L), Some(-2L))))
   }
+
+  test("rateSpikes: burst flags against trailing-only baseline; constant series never fires") {
+    import graft.stats.Anomaly
+    // source A: 10/day for 9 days with small jitter, then a 60-event burst;
+    // source B: exactly 8/day (zero variance -> z null, never spikes)
+    val rows =
+      (1 to 10).flatMap { d =>
+        val nA = if (d == 10) 60 else 10 + (d % 2) // jitter so var > 0
+        Seq.fill(nA)(("A", ts(f"2026-02-$d%02d 05:00:00"))) ++
+          Seq.fill(8)(("B", ts(f"2026-02-$d%02d 06:00:00")))
+      }
+    val out = Anomaly.rateSpikes(rows.toDF("src", "t"), "t", "src",
+        bucket = "day", window = 7, minHist = 3, zThreshold = 3.0)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+
+    val (cnt, z, spike) = out(("A", "2026-02-10"))
+    assert(cnt == 60L && spike, s"burst must flag: z=$z")
+    assert(z.get > 3.0)
+    // driver replay: trailing 7 days (3..9) counts, sample std
+    val hist = (3 to 9).map(d => (10 + (d % 2)).toDouble)
+    val m = hist.sum / hist.size
+    val sd = math.sqrt(hist.map(x => (x - m) * (x - m)).sum / (hist.size - 1))
+    assert(math.abs(z.get - (60.0 - m) / sd) < 1e-4,
+      s"z=${z.get} vs replay ${(60.0 - m) / sd}")
+    // days 1-3 of A: insufficient history -> null z
+    assert(out(("A", "2026-02-01"))._2.isEmpty)
+    assert(out(("A", "2026-02-03"))._2.isEmpty) // frame has only 2 rows
+    // constant series: zero variance -> null z, spike false everywhere
+    (1 to 10).foreach { d =>
+      val (c, zb, sb) = out(("B", f"2026-02-$d%02d"))
+      assert(c == 8L && zb.isEmpty && !sb, s"B day $d: $zb $sb")
+    }
+    // normal A days never spike
+    assert(!out(("A", "2026-02-09"))._3)
+  }
 }
