@@ -3004,7 +3004,7 @@ object SparkEntry {
         |  SELECT event_type, bucket_ts, cnt,
         |    CAST(count(cnt) OVER w AS BIGINT) AS n,
         |    CAST(sum(cnt) OVER w AS BIGINT) AS s,
-        |    CAST(sum(cnt*cnt) OVER w AS BIGINT) AS sq
+        |    CAST(sum(CAST(cnt AS HUGEINT)*cnt) OVER w AS BIGINT) AS sq
         |  FROM c
         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)

@@ -52,18 +52,26 @@ object Cdc {
       includeUnchanged: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must not be empty")
     require(compareCols.nonEmpty, "compareCols must not be empty")
-    val o = oldDf.select(keyCols.map(col) :+
-      rowDigest(compareCols.map(col)).as("__od") :+ lit(1).as("__op"): _*)
-    val n = newDf.select(keyCols.map(col) :+
-      rowDigest(compareCols.map(col)).as("__nd") :+ lit(1).as("__np"): _*)
-    val joined = o.join(n, keyCols, "full_outer")
+    // null-SAFE key equality: a null-keyed row present identically on both
+    // sides is one unchanged row, not a spurious removed+added pair. The
+    // digests are never null (md5 of coalesced fields), so side presence
+    // is exactly digest nullness after the full outer join — no flag
+    // columns through the shuffle.
+    val o = oldDf.select(keyCols.map(c => col(c).as(s"__ok_$c")) :+
+      rowDigest(compareCols.map(col)).as("__od"): _*)
+    val n = newDf.select(keyCols.map(c => col(c).as(s"__nk_$c")) :+
+      rowDigest(compareCols.map(col)).as("__nd"): _*)
+    val cond = keyCols.map(c => col(s"__ok_$c") <=> col(s"__nk_$c"))
+      .reduce(_ && _)
+    val joined = o.join(n, cond, "full_outer")
       .withColumn("status",
-        when(col("__op").isNull, "added")
-          .when(col("__np").isNull, "removed")
+        when(col("__od").isNull, "added")
+          .when(col("__nd").isNull, "removed")
           .when(col("__od") =!= col("__nd"), "changed")
           .otherwise("unchanged"))
     (if (includeUnchanged) joined
      else joined.where(col("status") =!= "unchanged"))
-      .select(keyCols.map(col) :+ col("status"): _*)
+      .select(keyCols.map(c =>
+        coalesce(col(s"__ok_$c"), col(s"__nk_$c")).as(c)) :+ col("status"): _*)
   }
 }

@@ -49,10 +49,15 @@ object Anomaly {
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket_ts"))
       .rowsBetween(-window, -1)
+    // sum of squares in DECIMAL, not LONG: cnt*cnt overflows int64 past
+    // ~3.04e9 events/bucket — a plausible hot source at ingest scale (ANSI
+    // would throw; non-ANSI would wrap varN negative and silently null z
+    // exactly where spikes matter). Decimal sums stay exact and order-free.
+    val cntDec = col("cnt").cast("decimal(19,0)")
     val withHist = counts
       .withColumn("__n", count(col("cnt")).over(w))
       .withColumn("__s", sum(col("cnt")).over(w))
-      .withColumn("__sq", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("__sq", sum(cntDec * cntDec).over(w))
     val n = col("__n").cast("double")
     val s = col("__s").cast("double")
     val sq = col("__sq").cast("double")

@@ -126,7 +126,12 @@ object Sketch {
     // leading zeros in BOTH engines, so rank = (w+1) - bitlen(v)
     val rank = when(v === 0, lit(w + 1))
       .otherwise(lit(w + 1) - length(bin(v)))
-    df.select(groupCols.map(col) :+ pmod(h, lit(m.toLong)).as("__idx")
+    // count(DISTINCT key) semantics: nulls are not a value. Without the
+    // filter, concat(null)'s null would coalesce into polyHash's zero and
+    // occupy a register like a real key. Groups with zero non-null keys
+    // drop out entirely — same as SQL GROUP BY over the filtered rows.
+    df.where(key.isNotNull)
+      .select(groupCols.map(col) :+ pmod(h, lit(m.toLong)).as("__idx")
         :+ rank.as("__rank"): _*)
       .groupBy((groupCols :+ "__idx").map(col): _*)
       .agg(max(col("__rank")).as("__mj"))

@@ -77,6 +77,16 @@ object Intervals {
       joinType: String = "left"): DataFrame = {
     require(Seq("left", "inner").contains(joinType),
       s"joinType must be left or inner, got $joinType")
+    // the emitted dim columns are startCol, endCol and the payload minus
+    // the join key — any overlap among them, or with fact's own columns,
+    // would emit duplicate names and poison every downstream col() lookup
+    val emitted = Seq(startCol, endCol) ++
+      payload.filterNot(c => c == key || c == startCol || c == endCol)
+    require(emitted.distinct.size == emitted.size,
+      s"payload overlaps start/end columns: $payload")
+    val clash = emitted.filter(fact.columns.contains)
+    require(clash.isEmpty,
+      s"dim columns $clash collide with fact columns — rename one side")
     // rename the dim side wholesale before joining: when fact and dim share
     // lineage (both derived from one table — the common case) attribute-based
     // disambiguation (`fact(key) === d(key)`) degrades to a trivially-true
@@ -88,7 +98,6 @@ object Intervals {
       (col(s"__dim_$endCol").isNull || fact(factTs) < col(s"__dim_$endCol"))
     fact.join(d, cond, joinType)
       .select(fact.columns.map(fact(_)) ++
-        (Seq(startCol, endCol) ++ payload.filterNot(_ == key))
-          .map(c => col(s"__dim_$c").as(c)): _*)
+        emitted.map(c => col(s"__dim_$c").as(c)): _*)
   }
 }

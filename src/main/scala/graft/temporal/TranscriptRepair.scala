@@ -44,8 +44,11 @@ object TranscriptRepair {
       .orderBy(orderCols.map(col): _*)
     val wConv = Window.partitionBy(col(convCol))
 
-    val chg = when(lag(col(roleCol), 1).over(wOrd).isNull ||
-      lag(col(roleCol), 1).over(wOrd) =!= col(roleCol), 1L).otherwise(0L)
+    // null-safe comparison (the oracle's IS DISTINCT FROM): a null-role
+    // turn (mid-write crash) must OPEN its own segment, not silently merge
+    // its text into the preceding turn of a different role
+    val chg = when(lag(col(roleCol), 1).over(wOrd) <=> col(roleCol), 0L)
+      .otherwise(1L)
     val packed = struct(orderCols.map(col) :+
       coalesce(textCol, lit("")).as("__t"): _*)
 

