@@ -280,3 +280,98 @@ object StreamingAudit {
 
   private def isEmpty(text: String): Boolean = text == null || text.isEmpty
 }
+
+/** Streaming twin of [[graft.stats.Anomaly.rateSpikes]] — the live-ingest
+  * rate monitor: per source, event counts per time bucket are z-scored
+  * against the trailing closed-bucket history the moment the WATERMARK
+  * seals a bucket, so a rogue-crawler burst alarms within one watermark
+  * delay of the bucket boundary instead of at the next batch job.
+  *
+  * Parity doctrine (same as the curation/dedup twins): the z arithmetic is
+  * the batch operator's exactly — trailing `window` OBSERVED buckets,
+  * exact integer count/sum/sum-of-squares (squares in BigInt: the same
+  * overflow-proofing the batch operator gets from DECIMAL), one binary64
+  * expression, HALF_UP 6dp round, null z under `minHist` or zero variance
+  * — so StreamingSpec can replay one input through both paths and demand
+  * identical rows.
+  *
+  * State per source: the open (unsealed) bucket counts plus at most
+  * `window` closed counts — O(window + open buckets) however long the
+  * stream runs; sealed buckets leave state immediately.
+  */
+object StreamingAnomaly {
+
+  final case class RateEvent(src: String, ts: java.sql.Timestamp)
+  /** Internal state (public: Catalyst instantiates it). */
+  final case class RateState(history: Seq[Long], open: Map[Long, Long])
+  final case class SpikeRow(src: String, bucket_ts: java.sql.Timestamp,
+      cnt: Long, z: Option[Double], spike: Boolean)
+
+  def rateSpikesStream(
+      events: org.apache.spark.sql.Dataset[RateEvent],
+      bucketMillis: Long,
+      window: Int = 7,
+      minHist: Int = 3,
+      zThreshold: Double = 3.0,
+      watermarkDelay: String = "10 seconds"
+  ): org.apache.spark.sql.Dataset[SpikeRow] = {
+    require(window >= 2 && minHist >= 2 && minHist <= window,
+      s"need 2 <= minHist <= window, got minHist=$minHist window=$window")
+    require(bucketMillis > 0, "bucketMillis must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+    def score(history: Seq[Long], cnt: Long): (Option[Double], Boolean) = {
+      val n = history.size
+      if (n < minHist) (None, false)
+      else {
+        val s = history.sum
+        val sq = history.foldLeft(BigInt(0))((a, c) => a + BigInt(c) * c)
+        val nD = n.toDouble; val sD = s.toDouble; val sqD = sq.doubleValue
+        val varN = nD * sqD - sD * sD
+        if (!(varN > 0.0)) (None, false)
+        else {
+          val z = (cnt.toDouble - sD / nD) /
+            math.sqrt(varN / (nD * (nD - 1.0)))
+          val zr = BigDecimal(z)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (Some(zr), zr >= zThreshold)
+        }
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.src)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, rows: Iterator[RateEvent],
+            state: org.apache.spark.sql.streaming.GroupState[RateState]) => {
+          val prev = state.getOption.getOrElse(RateState(Nil, Map.empty))
+          // fold this micro-batch's events into their open buckets
+          val open = rows.foldLeft(prev.open) { (m, r) =>
+            val b = Math.floorDiv(r.ts.getTime, bucketMillis) * bucketMillis
+            m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          // seal every bucket the watermark has passed, oldest first —
+          // each sealed count scores against the history BEFORE it, then
+          // joins the history (exactly the batch trailing-frame semantics)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = open.partition(_._1 + bucketMillis <= wm)
+          var hist = prev.history
+          val out = closed.toSeq.sortBy(_._1).map { case (b, cnt) =>
+            val (z, spike) = score(hist.takeRight(window), cnt)
+            hist = (hist :+ cnt).takeRight(window)
+            SpikeRow(key, new java.sql.Timestamp(b), cnt, z, spike)
+          }
+          state.update(RateState(hist, stillOpen))
+          if (stillOpen.nonEmpty)
+            // wake when the watermark can seal the oldest open bucket
+            state.setTimeoutTimestamp(math.max(
+              stillOpen.keys.min + bucketMillis, wm + 1L))
+          else if (state.exists && hist.isEmpty && stillOpen.isEmpty)
+            state.remove()
+          out.iterator
+        })
+  }
+}

@@ -307,4 +307,55 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batchKept,
       s"stream admitted $streamed, batch kept $batchKept under pre-clean")
   }
+
+  test("rate-anomaly parity: streaming z-scores == batch rateSpikes on the same events") {
+    import graft.streaming.StreamingAnomaly
+    import graft.streaming.StreamingAnomaly.RateEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    // two sources, minute buckets: A steady-with-jitter then a burst;
+    // B constant (never scores). Final lone event only advances the
+    // watermark so every scored bucket seals.
+    def mts(minute: Int, sec: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2026-04-01 10:$minute%02d:$sec%02d")
+    val events =
+      (0 until 10).flatMap { m =>
+        val nA = if (m == 8) 40 else 5 + (m % 2)
+        (0 until nA).map(k => RateEvent("A", mts(m, k % 60))) ++
+          (0 until 4).map(k => RateEvent("B", mts(m, k)))
+      } :+ RateEvent("Z", mts(30)) // watermark pusher
+
+    // batch reference
+    val batch = graft.stats.Anomaly.rateSpikes(
+        events.toDF(), tsCol = "ts", groupCol = "src",
+        bucket = "minute", window = 7, minHist = 3, zThreshold = 3.0)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .filter(_._1 != "Z").sortBy(x => (x._1, x._2.getTime)).toSeq
+
+    val input = MemoryStream[RateEvent]
+    input.addData(events)
+    val q = StreamingAnomaly.rateSpikesStream(input.toDS(),
+        bucketMillis = 60000L, window = 7, minHist = 3,
+        zThreshold = 3.0, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("rate_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .filter(_._1 != "Z").sortBy(x => (x._1, x._2.getTime)).toSeq
+
+    // the stream seals every bucket strictly older than the watermark; the
+    // batch also scores the final (unsealed-in-stream) buckets — compare on
+    // the sealed horizon
+    val sealedKeys = stream.map(x => (x._1, x._2)).toSet
+    val batchSealed = batch.filter(x => sealedKeys.contains((x._1, x._2)))
+    assert(stream.nonEmpty, "stream must emit sealed buckets")
+    assert(stream == batchSealed,
+      s"stream\n${stream.mkString("\n")}\nbatch\n${batchSealed.mkString("\n")}")
+    // the burst bucket is in the sealed set and flagged identically
+    assert(stream.exists(x => x._3 == 40L && x._5), "burst must flag in-stream")
+  }
 }
