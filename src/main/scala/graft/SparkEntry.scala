@@ -1054,6 +1054,12 @@ object SparkEntry {
         .withColumn("bucket_ts", col("bucket_ts").cast("timestamp_ntz"))
     }),
 
+    "q107_neg_samples" -> ((s, dir) =>
+      // contrastive negative sampling: 3 hash-derived negatives per doc,
+      // bucket-local dense ranks (no global index), equi joins only.
+      graft.text.Sampling.negativeSamples(
+        Tables.load(s, dir, "documents"), "doc_id", k = 3, buckets = 64)),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -3023,6 +3029,50 @@ object SparkEntry {
         |  coalesce(CASE WHEN n >= 3 AND varn > 0 THEN round(zraw, 6) END
         |    >= 3.0, false) AS spike
         |FROM f""".stripMargin
+    },
+
+    "q107_neg_samples" -> {
+      // same bucket hash, same per-bucket dense rank (ORDER BY id), same
+      // member draw mod bucket size, same self-collision shift.
+      // raw polys land in CTE columns so the (textually expanding) mix32
+      // only ever repeats a cheap column reference
+      val hb = OracleSqlGen.poly("(CAST(doc_id AS VARCHAR) || ':b:neg1')")
+      val ht = OracleSqlGen.poly(
+        "(CAST(doc_id AS VARCHAR) || ':t:neg1' || CAST(t.slot AS VARCHAR))")
+      val hm = OracleSqlGen.poly(
+        "(CAST(doc_id AS VARCHAR) || ':m:neg1' || CAST(slot AS VARCHAR))")
+      val mixB = OracleSqlGen.mix32("hb0")
+      val mixT = OracleSqlGen.mix32("ht0")
+      val mixM = OracleSqlGen.mix32("hm0")
+      s"""WITH mraw AS (
+         |  SELECT doc_id AS mid, $hb AS hb0 FROM documents
+         |), m0 AS (
+         |  SELECT mid, $mixB % 64 AS mb FROM mraw
+         |), m AS (
+         |  SELECT mid, mb,
+         |    row_number() OVER (PARTITION BY mb ORDER BY mid) - 1 AS mi
+         |  FROM m0
+         |), sz AS (
+         |  SELECT mb, CAST(count(*) AS BIGINT) AS bsz FROM m GROUP BY 1
+         |), a0 AS (
+         |  SELECT doc_id, CAST(t.slot AS INT) AS slot, $ht AS ht0
+         |  FROM documents CROSS JOIN range(0, 3) t(slot)
+         |), a AS (
+         |  SELECT doc_id, slot, $mixT % 64 AS tb, $hm AS hm0 FROM a0
+         |), a2 AS (
+         |  SELECT a.doc_id, a.slot, a.tb, sz.bsz, $mixM % sz.bsz AS ti
+         |  FROM a JOIN sz ON sz.mb = a.tb
+         |), f1 AS (
+         |  SELECT a2.*, m.mid AS hit
+         |  FROM a2 LEFT JOIN m ON m.mb = a2.tb AND m.mi = a2.ti
+         |), f2 AS (
+         |  SELECT doc_id, slot, tb,
+         |    CASE WHEN hit = doc_id THEN (ti + 1) % bsz ELSE ti END AS ti2
+         |  FROM f1
+         |)
+         |SELECT f2.doc_id, f2.slot,
+         |  CASE WHEN m.mid = f2.doc_id THEN NULL ELSE m.mid END AS neg_id
+         |FROM f2 LEFT JOIN m ON m.mb = f2.tb AND m.mi = f2.ti2""".stripMargin
     },
 
     "q94_fim" -> {

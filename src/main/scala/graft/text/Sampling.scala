@@ -265,4 +265,70 @@ object Sampling {
       }
       .fold(lit(fractions.head._1))(_.otherwise(fractions.last._1))
   }
+
+  /** Deterministic negative sampling for contrastive training: per anchor
+    * row, `k` pseudo-random other corpus members — hash-derived, so the
+    * pairing is reproducible across engines and runs, with NO global index.
+    *
+    * The naive shape (dense-rank the corpus, hash into [0, N)) needs a
+    * GLOBAL row numbering — a single-partition sort at 100 TB. Instead the
+    * corpus hashes into `buckets` groups; dense local indices come from a
+    * per-bucket window (parallel), bucket sizes broadcast (B rows), and
+    * each (anchor, slot) draws bucket-then-member by hash. Every join is
+    * an equi join on (bucket, local index).
+    *
+    * Self-collision: the draw shifts one position (mod bucket size) when
+    * it lands on the anchor itself; a size-1 bucket containing only the
+    * anchor yields a null negative (counted by the caller, never silent).
+    *
+    * @return (anchor id, slot 0..k-1, neg id nullable)
+    */
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      buckets: Int = 64,
+      salt: String = "neg1"): DataFrame = {
+    require(k >= 1 && buckets >= 1, "k and buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val idS = col(idCol).cast("string")
+    // every draw hash goes through mix32: raw poly31's LOW bits are
+    // structured for short suffix-varying strings, and a mod-8 member draw
+    // on the raw hash measurably skipped half the indices (the HLL
+    // high-bit lesson, low-bit edition)
+    def h(parts: Column*): Column =
+      graft.text.TextHash.mix32(graft.text.TextHash.polyHash(concat(parts: _*)))
+    val b = pmod(h(idS, lit(":b:" + salt)), lit(buckets.toLong))
+    val members = df.select(col(idCol).as("__mid"), b.as("__mb"))
+      .withColumn("__mi",
+        row_number().over(
+          Window.partitionBy(col("__mb")).orderBy(col("__mid"))) - 1)
+    val sizes = broadcast(members.groupBy(col("__mb"))
+      .agg(count(lit(1)).as("__bsz")))
+    val anchors = df.select(col(idCol))
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("slot"))
+      .withColumn("__tb", pmod(
+        h(idS, lit(":t:" + salt), col("slot").cast("string")),
+        lit(buckets.toLong)))
+      .join(sizes.withColumnRenamed("__mb", "__tb"), Seq("__tb"))
+      .withColumn("__ti", pmod(
+        h(idS, lit(":m:" + salt), col("slot").cast("string")),
+        col("__bsz")))
+    anchors
+      .join(members,
+        anchors("__tb") === members("__mb") &&
+          anchors("__ti") === members("__mi"), "left")
+      .withColumn("__hit", col("__mid"))
+      // self-collision: shift one position (wraps), then re-fetch
+      .withColumn("__ti2",
+        when(col("__hit") === col(idCol),
+          pmod(col("__ti") + 1, col("__bsz"))).otherwise(col("__ti")))
+      .drop("__mid", "__mb", "__mi")
+      .join(members,
+        col("__tb") === members("__mb") && col("__ti2") === members("__mi"),
+        "left")
+      .withColumn("neg_id",
+        when(col("__mid") === col(idCol), lit(null)).otherwise(col("__mid")))
+      .select(col(idCol), col("slot"), col("neg_id"))
+  }
 }

@@ -651,4 +651,22 @@ class Round4Spec extends GraftSuite {
     assert(rank("san francisco") < rank("new york"),
       "always-bound pair must score above the 50/50-bound pair")
   }
+
+  test("negativeSamples: k draws per anchor, no self-hits, healthy coverage, parallelism-invariant") {
+    import graft.text.Sampling
+    val docs = (0L until 500L).toDF("doc_id")
+    def run(parts: Int) = Sampling.negativeSamples(
+        docs.repartition(parts), "doc_id", k = 3, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq.sorted
+    val out = run(8)
+    assert(out.size == 1500, "exactly k rows per anchor")
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(0, 1, 2)))
+    assert(out.forall(x => !x._3.contains(x._1)), "never self as negative")
+    // mix32'd draws: coupon-collector expects ~475 distinct of 500; the raw
+    // poly31 draw measured 250 (half the indices unreachable) — pin the band
+    val distinct = out.flatMap(_._3).distinct.size
+    assert(distinct > 400, s"draw coverage collapsed: $distinct/500")
+    assert(run(1) == out && run(13) == out, "draws must be deterministic")
+  }
 }
