@@ -2483,17 +2483,21 @@ object SparkEntry {
          |    CAST(len(text) AS DOUBLE) AS n
          |  FROM documents
          |), d AS (
-         |  SELECT *, list_sort(list_distinct(cs)) AS ds,
-         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-         |  FROM m
-         |), gates AS (
-         |  SELECT doc_id,
+         |  SELECT *, list_sort(list_distinct(cs)) AS ds FROM m
+         |), g0 AS (
+         |  SELECT doc_id, text,
          |    (len(tk) >= 25 AND len(tk) <= 5000) AS g_len,
          |    ($dup2) < 0.05 AS g_rep,
          |    ($entropy) >= 4.0 AS g_ent,
-         |    lang IN ('de', 'en', 'zh') AS g_lang,
-         |    doc_id = keeper AS g_uniq
+         |    lang IN ('de', 'en', 'zh') AS g_lang
          |  FROM d
+         |), gates AS (
+         |  -- keeper elected among content-passing copies (Curation.curate)
+         |  SELECT doc_id, g_len, g_rep, g_ent, g_lang,
+         |    coalesce(doc_id = min(CASE WHEN g_len AND g_rep AND g_ent
+         |        AND g_lang THEN doc_id END)
+         |      OVER (PARTITION BY md5(text)), false) AS g_uniq
+         |  FROM g0
          |)
          |SELECT doc_id, g_len, g_rep, g_ent, g_lang, g_uniq,
          |  (g_len AND g_rep AND g_ent AND g_lang AND g_uniq) AS keep,
@@ -3229,26 +3233,37 @@ object SparkEntry {
          |    regexp_extract(regexp_replace(url0, '(?s)#.*', ''),
          |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre
          |  FROM u0
-         |), cn AS (
+         |), np AS (
          |  SELECT doc_id, n_chars,
          |    regexp_replace(
          |      regexp_replace(
-         |        regexp_replace(
-         |          regexp_replace(
-         |            regexp_replace(
-         |              regexp_replace(
-         |                lower(pre) || substr(nofrag, len(pre) + 1),
-         |                '(?s)^(https://[^:/?#]+):443([/?#].*)?$$', '\\1\\2'),
-         |              '(?s)^(http://[^:/?#]+):80([/?#].*)?$$', '\\1\\2'),
-         |            '&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-         |          '\\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
-         |        '\\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$$', ''),
-         |      '\\?$$', '') AS url
+         |        lower(pre) || substr(nofrag, len(pre) + 1),
+         |        '(?s)^(https://[^:/?#]+):443([/?#].*)?$$', '\\1\\2'),
+         |      '(?s)^(http://[^:/?#]+):80([/?#].*)?$$', '\\1\\2') AS u
          |  FROM lo
+         |), sp AS (
+         |  -- tracking strips run on the query string only (split at '?'),
+         |  -- mirroring Web.canonicalize: the '&param' stage must never see
+         |  -- the path
+         |  SELECT doc_id, n_chars, regexp_extract(u, '(?s)^[^?]*') AS p0,
+         |    substr(u, len(regexp_extract(u, '(?s)^[^?]*')) + 1) AS q0
+         |  FROM np
+         |), cn AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_replace(p0 ||
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(q0,
+         |            '&(?:utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+         |          '(?s)^\\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+         |        '(?s)^\\?(?:utm_[a-z]+|fbclid|gclid)=[^&#]*$$', ''),
+         |      '\\?$$', '') AS url
+         |  FROM sp
          |), dm AS (
          |  SELECT doc_id, n_chars, url,
-         |    regexp_replace(regexp_extract(url,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '') AS h
+         |    regexp_replace(regexp_replace(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |      '^[^@]*@', ''), ':[0-9]+$$', '') AS h
          |  FROM cn
          |), dd AS (
          |  SELECT doc_id, n_chars, url,

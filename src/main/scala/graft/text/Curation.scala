@@ -56,12 +56,18 @@ object Curation {
     // two pages differ only in boilerplate markup IS a duplicate once on
     val digestText =
       if (g.stripMarkup || g.normalize) col("clean_text") else col(textCol)
-    val keeper = min(col(idCol)).over(
+    // the keeper is elected among copies that PASS the content gates:
+    // elected over all copies, a min-id copy that fails a per-row metadata
+    // gate (e.g. a divergent upstream lang label) would drag every copy of
+    // the document out of the corpus even though an acceptable copy exists
+    val contentPass = col("g_len") && col("g_rep") && col("g_ent") &&
+      col("g_lang")
+    val keeper = min(when(contentPass, col(idCol))).over(
       org.apache.spark.sql.expressions.Window.partitionBy(md5(digestText)))
     val keep = col("g_len") && col("g_rep") && col("g_ent") &&
       col("g_lang") && col("g_uniq")
     withGates(df, idCol, textCol, langCol, g)
-      .withColumn("g_uniq", col(idCol) === keeper)
+      .withColumn("g_uniq", coalesce(col(idCol) === keeper, lit(false)))
       .withColumn("keep", keep)
       .withColumn("split",
         when(keep, Sampling.assignSplit(col(idCol), g.splits))

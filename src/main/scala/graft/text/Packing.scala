@@ -217,11 +217,17 @@ object Packing {
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0,1], got $sampleRate")
     val qs = (1 until shards).map(_.toDouble / shards)
-    val bounds = df
+    val boundsRow = df
       .where(Sampling.keepAtRate(col(idCol), sampleRate, salt))
       .agg(transform(graft.stats.WeightedStats.quantiles(scoreCol, qs),
         b => round(b, 6)).as("bs"))
-      .head().getSeq[Double](0)
+      .head()
+    // an empty (or all-null-score) sample yields a NULL quantile array —
+    // fail with a diagnosis, not an NPE in the fold below
+    require(!boundsRow.isNullAt(0),
+      s"curriculum sample is empty at sampleRate=$sampleRate — no rows " +
+        "kept or all sampled scores null; raise sampleRate")
+    val bounds = boundsRow.getSeq[Double](0)
     val shard = bounds.foldLeft(lit(0L)) { (acc, b) =>
       acc + coalesce((scoreCol > lit(b)).cast("long"), lit(0L))
     }

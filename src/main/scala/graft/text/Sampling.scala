@@ -279,7 +279,9 @@ object Sampling {
     *
     * Self-collision: the draw shifts one position (mod bucket size) when
     * it lands on the anchor itself; a size-1 bucket containing only the
-    * anchor yields a null negative (counted by the caller, never silent).
+    * anchor — or a target bucket with no members at all (more buckets
+    * than rows) — yields a null negative for that slot (the sizes join is
+    * LEFT so the row survives; counted by the caller, never silent).
     *
     * @return (anchor id, slot 0..k-1, neg id nullable)
     */
@@ -310,7 +312,7 @@ object Sampling {
       .withColumn("__tb", pmod(
         h(idS, lit(":t:" + salt), col("slot").cast("string")),
         lit(buckets.toLong)))
-      .join(sizes.withColumnRenamed("__mb", "__tb"), Seq("__tb"))
+      .join(sizes.withColumnRenamed("__mb", "__tb"), Seq("__tb"), "left")
       .withColumn("__ti", pmod(
         h(idS, lit(":m:" + salt), col("slot").cast("string")),
         col("__bsz")))

@@ -44,17 +44,23 @@ object Web {
     val noPort = regexp_replace(
       regexp_replace(lowered, "(?s)^(https://[^:/?#]+):443([/?#].*)?$", "$1$2"),
       "(?s)^(http://[^:/?#]+):80([/?#].*)?$", "$1$2")
-    // three-stage strip so no separator "repair" pass is needed (a repair
+    // the strips run on the QUERY STRING ONLY (split at the first `?`):
+    // run against the whole URL, the `&param=…` stage would also delete
+    // matching substrings from the PATH (`/r&utm_x=1/dl?id=2` →
+    // `/r?id=2`, a different resource) because `[^&#]*` happily spans `/`.
+    // Three-stage strip so no separator "repair" pass is needed (a repair
     // regex would corrupt legitimate `&` in paths): first every `&param=…`,
     // then a tracking param LEADING the query (keep the `?` when params
     // follow, drop it when it was the whole query), then an empty `?`
     val track = "(?:utm_[a-z]+|fbclid|gclid)"
-    val noTrack = regexp_replace(
+    val pathPart = regexp_extract(noPort, "(?s)^[^?]*", 0)
+    val queryPart = expr_substr(noPort, length(pathPart) + 1)
+    val cleanedQuery = regexp_replace(
       regexp_replace(
-        regexp_replace(noPort, s"&$track=[^&#]*", ""),
-        s"\\?$track=[^&#]*&", "?"),
-      s"\\?$track=[^&#]*$$", "")
-    regexp_replace(noTrack, "\\?$", "")
+        regexp_replace(queryPart, s"&$track=[^&#]*", ""),
+        s"(?s)^\\?$track=[^&#]*&", "?"),
+      s"(?s)^\\?$track=[^&#]*$$", "")
+    regexp_replace(concat(pathPart, cleanedQuery), "\\?$", "")
   }
 
   /** substring-from-index helper: `substr(url, pos)` to end of string. */
@@ -65,8 +71,13 @@ object Web {
     * lowercased; empty string when the input is not a URL.
     */
   def host(url: Column): Column =
+    // strip userinfo BEFORE the port: `user:pw@h.com:8080` must not group
+    // per-userinfo downstream (per-domain caps would be bypassable by
+    // minting userinfo strings)
     lower(regexp_replace(
-      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      regexp_replace(
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        "^[^@]*@", ""),
       ":[0-9]+$", ""))
 
   /** Registered-domain approximation: the last two dot-labels of the host

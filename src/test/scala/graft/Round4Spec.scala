@@ -669,4 +669,42 @@ class Round4Spec extends GraftSuite {
     assert(distinct > 400, s"draw coverage collapsed: $distinct/500")
     assert(run(1) == out && run(13) == out, "draws must be deterministic")
   }
+
+  test("curation keeper elected among gate-passing copies; shard sample guard; sparse negatives") {
+    import graft.text.{Curation, Packing, Sampling}
+    // two exact duplicates with divergent upstream lang labels: the min-id
+    // copy fails g_lang, the other passes — the document must SURVIVE
+    val body = "the quick brown fox jumps over the lazy dog repeatedly " * 3
+    val docs = Seq(
+      (1L, body, "xx"), // keeper under the old rule; fails lang gate
+      (2L, body, "en"),
+      (3L, "another acceptable unique document body with plenty of words here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.curate(docs, "doc_id", "text", "lang",
+        Curation.Gates(minTokens = 5, maxDupFraction = 0.95, minEntropy = 2.0,
+          langs = Set("en")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("g_uniq"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((false, false)), "gate-failing copy is not the keeper")
+    assert(out(2L) == ((true, true)),
+      "the passing duplicate copy must survive as keeper")
+    assert(out(3L)._2)
+
+    // empty curriculum sample diagnoses instead of NPE
+    val few = (0L until 40L).toDF("id").withColumn("s", col("id").cast("double"))
+    intercept[IllegalArgumentException] {
+      Packing.curriculumShards(few, "id", col("s"), shards = 4,
+        sampleRate = 0.000001)
+    }
+
+    // sparse corpus (fewer rows than buckets): every (anchor, slot) row
+    // survives; empty target buckets yield null negatives, never lost rows
+    val sparse = (0L until 20L).toDF("doc_id")
+    val negs = Sampling.negativeSamples(sparse, "doc_id", k = 3, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(negs.length == 60, s"rows lost to empty buckets: ${negs.length}")
+    assert(negs.exists(_._3.isEmpty), "sparse corpus must show null slots")
+    assert(negs.forall(x => !x._3.contains(x._1)))
+  }
 }

@@ -185,4 +185,24 @@ class WebSpec extends GraftSuite {
       "doc_id", "text", vocabSize = 10)
     assert(empty.where(col("doc_id") === 2).head().isNullAt(1))
   }
+
+  test("review fixes: userinfo never reaches domain; path ampersands survive canonicalize") {
+    import graft.text.Web
+    val rows = Seq(
+      (1L, "http://a@spam.com/1"),
+      (2L, "http://b:pw@spam.com:80/2"),
+      (3L, "http://ex.com/r&utm_x=1/download?id=2"),
+      (4L, "https://h.com/p?utm_a=1&id=3&utm_b=2#f")
+    ).toDF("id", "url")
+    val out = rows.select(col("id"),
+        Web.canonicalize(col("url")).as("c"),
+        Web.registeredDomain(Web.canonicalize(col("url"))).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L)._2 == "spam.com", s"userinfo leaked: ${out(1L)}")
+    assert(out(2L)._2 == "spam.com", s"userinfo+port leaked: ${out(2L)}")
+    // the path is untouched; only the query is stripped
+    assert(out(3L)._1 == "http://ex.com/r&utm_x=1/download?id=2",
+      s"path corrupted: ${out(3L)._1}")
+    assert(out(4L)._1 == "https://h.com/p?id=3", s"query strip: ${out(4L)._1}")
+  }
 }
