@@ -99,7 +99,7 @@ object OracleSqlGen {
 
   /** LCG hyperplane component for plane p, 0-based dim expr `d`. */
   def planeComponent(p: Int, d: String): String =
-    s"(CAST(((${p}*64 + $d)*1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+    s"(CAST(((${p}*1048576 + $d)*1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
 
   /** sign-bucket key of a double-list column `v` with `planes` hyperplanes. */
   def signBucket(v: String, planes: Int, dim: Int = 64): String = {

@@ -35,7 +35,12 @@ object Ann {
     * generates the oracle SQL — no shared RNG state needed.
     */
   def planeComponent(plane: Int, dim: Column): Column = {
-    val idx = lit(plane.toLong * 64L) + dim
+    // stride 2^20, not the vector width: with stride 64, plane p+1's
+    // weight stream was plane p's shifted by 64 indices, so above 64 dims
+    // consecutive hyperplanes shared almost every coefficient and sign
+    // bits correlated (bucket collapse). 2^20 keeps planes disjoint for
+    // any realistic dim; idx*a stays < 2^57, ANSI-safe.
+    val idx = lit(plane.toLong * 1048576L) + dim
     (pmod(idx * 1103515245L + 12345L, lit(1L << 31)).cast("double") /
       lit((1L << 31).toDouble)) - 0.5
   }
@@ -54,16 +59,24 @@ object Ann {
     * Ties broken by corpus id for full determinism; scores rounded before
     * ranking so cross-engine float noise cannot flip the order.
     */
+  /** `excludeSelf` (default true, all topK variants): drop candidates with
+    * `cid == qid` — correct when queries ARE corpus rows (self-join dedup,
+    * leave-one-out eval). For CROSS-TABLE retrieval where id spaces are
+    * unrelated, pass false: otherwise corpus row i silently vanishes from
+    * query i's candidates. Ids must be non-null (null ids never match any
+    * filter and would vanish without error).
+    */
   def bruteTopK(
       queries: DataFrame, // (qid, vec)
       corpus: DataFrame, // (cid, vec)
       k: Int,
-      roundTo: Int = 6
+      roundTo: Int = 6,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val q = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
     val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
     val scored = q.crossJoin(c)
-      .where(col("qid") =!= col("cid"))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
@@ -90,7 +103,8 @@ object Ann {
       k: Int,
       planes: Int = 6,
       roundTo: Int = 6,
-      probes: Int = 0
+      probes: Int = 0,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     require(probes <= planes, "cannot probe more bits than planes")
     val q0 = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
@@ -103,7 +117,7 @@ object Ann {
     val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
       .withColumn("bkey", signBucket(col("cv"), planes))
     val scored = q.join(c, Seq("bkey"))
-      .where(col("qid") =!= col("cid"))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
@@ -139,6 +153,10 @@ object Ann {
       .limit(nCentroids)
       .select(col("cv"))
     var centroids = seeded.collect().map(_.getSeq[Double](0).toArray)
+    // fail loudly like pqTrain: silently training fewer lists than asked
+    // violates the caller's bucket-sizing math (|corpus|/nList per bucket)
+    require(centroids.length == nCentroids,
+      s"corpus has ${centroids.length} rows < nCentroids=$nCentroids")
     var it = 0
     while (it < iterations) {
       it += 1
@@ -242,7 +260,8 @@ object Ann {
       model: IvfModel,
       k: Int,
       nProbe: Int = 2,
-      roundTo: Int = 6
+      roundTo: Int = 6,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val c = assignCentroid(
       corpus.select(col("cid"), toDouble(col("vec")).as("cv")), model.centroids)
@@ -250,7 +269,7 @@ object Ann {
     val q = q0.withColumn("__list",
       explode(probeLists(col("qv"), model.centroids, nProbe)))
     val scored = q.join(c, Seq("__list"))
-      .where(col("qid") =!= col("cid"))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
@@ -394,7 +413,8 @@ object Ann {
       pq: PqModel,
       k: Int,
       nProbe: Int = 2,
-      roundTo: Int = 6
+      roundTo: Int = 6,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val c = pqEncode(
       assignCentroid(
@@ -410,7 +430,7 @@ object Ann {
         (lit(j * pq.nCodes) + element_at(col("__codes"), j + 1) + 1).cast("int"))
     }.reduce(_ + _)
     val scored = q.join(c, Seq("__list"))
-      .where(col("qid") =!= col("cid"))
+      .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"), round(adc, roundTo).as("adc"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc").asc, col("cid").asc)

@@ -280,6 +280,11 @@ object Dedup {
       threshold: Double = 0.35,
       blockCap: Int = 64
   ): DataFrame = {
+    // numHashes=8,bands=16 would give rows=0 (constant band keys -> one
+    // mega-bucket -> blockCap drops everything -> silent 'no duplicates');
+    // non-divisible combos silently ignore trailing slots. Fail loudly.
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     val withSig = df.select(
       col(idCol).as("id"),
@@ -494,7 +499,14 @@ object Dedup {
     * ingests never rescan the corpus to rebuild them.
     */
   private[graft] def bloomOf(keys: DataFrame, keyCol: String, fpp: Double): Array[Byte] = {
-    val n = math.max(keys.count(), 64L)
+    // size by (approximate) DISTINCT keys: count() counts occurrences, and
+    // a shingle frame repeats each shingle once per document — sizing from
+    // occurrences inflates the sketch 10-100x and past ~10^13 occurrences
+    // exceeds the bit-array limit outright. approx_count_distinct is one
+    // agg pass; the 1.1 margin absorbs its error on the safe side.
+    val n = math.max(
+      (keys.agg(approx_count_distinct(col(keyCol))).head().getLong(0) *
+        1.1).toLong, 64L)
     val bf = keys.stat.bloomFilter(keyCol, n, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

@@ -28,7 +28,10 @@ object TextQuality {
   }
 
   /** Language ID: argmax of stopword ratios, "und" when all zero.
-    * Deterministic tie-break: language name ascending.
+    * Deterministic tie-break: the lexicographically LARGEST language name
+    * wins an equal-score tie (the struct max compares the name after the
+    * score) — this is the behavior the oracle pins; callers relying on a
+    * tie direction should rely on this one.
     *
     * All per-language hit counters accumulate in ONE fold over the token
     * array (the naive per-language `stopwordRatio` form tokenizes the text
