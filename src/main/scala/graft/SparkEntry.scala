@@ -1060,6 +1060,13 @@ object SparkEntry {
       graft.text.Sampling.negativeSamples(
         Tables.load(s, dir, "documents"), "doc_id", k = 3, buckets = 64)),
 
+    "q108_role_transitions" -> ((s, dir) =>
+      // dialogue-structure fingerprint: P(next role | prev role) over the
+      // events-as-transcript corpus. One conv window + one tiny groupBy.
+      graft.temporal.TranscriptStats.roleTransitions(
+        ev(s, dir), convCol = "user_id", orderCols = Seq("ts", "event_id"),
+        roleCol = "event_type")),
+
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
       // corpus rewritten PSM, hash-derived pivots; pure projection.
@@ -3077,6 +3084,25 @@ object SparkEntry {
          |SELECT f2.doc_id, f2.slot,
          |  CASE WHEN m.mid = f2.doc_id THEN NULL ELSE m.mid END AS neg_id
          |FROM f2 LEFT JOIN m ON m.mb = f2.tb AND m.mi = f2.ti2""".stripMargin
+    },
+
+    "q108_role_transitions" -> {
+      // same lag pairs, same row-normalized division, same 6dp round.
+      """WITH p AS (
+        |  SELECT lag(coalesce(event_type, '<null>')) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_role,
+        |    coalesce(event_type, '<null>') AS next_role
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_role, next_role, CAST(count(*) AS BIGINT)
+        |    AS n_transitions
+        |  FROM p WHERE prev_role IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_role, next_role, n_transitions,
+        |  round(CAST(n_transitions AS DOUBLE) /
+        |    CAST(sum(n_transitions) OVER (PARTITION BY prev_role)
+        |      AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin
     },
 
     "q94_fim" -> {

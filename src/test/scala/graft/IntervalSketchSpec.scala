@@ -276,4 +276,29 @@ class IntervalSketchSpec extends GraftSuite {
       "t2", "src")
     assert(big.count() == 1)
   }
+
+  test("roleTransitions: exact counts, row-normalized rows sum to 1, null role is a state") {
+    import graft.temporal.TranscriptStats
+    val t = Seq(
+      ("c1", 1L, "user"), ("c1", 2L, "assistant"), ("c1", 3L, "user"),
+      ("c1", 4L, "assistant"), ("c1", 5L, "assistant"), // retry storm
+      ("c2", 1L, "user"), ("c2", 2L, null.asInstanceOf[String]),
+      ("c2", 3L, "assistant"),
+      ("c3", 1L, "user") // single turn: no transition
+    ).toDF("conv", "tid", "role")
+    val out = TranscriptStats.roleTransitions(t, "conv", Seq("tid"), "role")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("user", "assistant")) == ((2L, 0.666667)))
+    assert(out(("user", "<null>")) == ((1L, 0.333333)))
+    assert(out(("assistant", "user")) == ((1L, 0.5)))
+    assert(out(("assistant", "assistant")) == ((1L, 0.5)))
+    assert(out(("<null>", "assistant")) == ((1L, 1.0)))
+    assert(out.size == 5, s"unexpected transitions: ${out.keySet}")
+    // per-prev rows normalize to 1
+    out.keys.map(_._1).toSeq.distinct.foreach { prev =>
+      val s = out.collect { case ((p, _), (_, pr)) if p == prev => pr }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$prev rows sum to $s")
+    }
+  }
 }
