@@ -2727,9 +2727,9 @@ object SparkEntry {
          |  SELECT d, cell, count(*) AS cnt FROM c GROUP BY 1, 2
          |), k AS (SELECT DISTINCT user_id FROM events),
          |e AS (
-         |  SELECT k.user_id, min(sk.cnt) AS est
+         |  SELECT k.user_id, min(coalesce(sk.cnt, 0)) AS est
          |  FROM k CROSS JOIN range(0, 4) t(d)
-         |  JOIN sk ON sk.d = t.d AND sk.cell = $hKey % 256
+         |  LEFT JOIN sk ON sk.d = t.d AND sk.cell = $hKey % 256
          |  GROUP BY 1
          |)
          |SELECT user_id, CAST(est AS BIGINT) AS est, est >= 150 AS heavy
@@ -3021,7 +3021,7 @@ object SparkEntry {
         |  SELECT event_type, bucket_ts, cnt,
         |    CAST(count(cnt) OVER w AS BIGINT) AS n,
         |    CAST(sum(cnt) OVER w AS BIGINT) AS s,
-        |    CAST(sum(CAST(cnt AS HUGEINT)*cnt) OVER w AS BIGINT) AS sq
+        |    sum(CAST(cnt AS HUGEINT)*cnt) OVER w AS sq
         |  FROM c
         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)

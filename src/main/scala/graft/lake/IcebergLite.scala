@@ -102,6 +102,26 @@ object IcebergLite {
     snap
   }
 
+  /** Binary snapshot property (Iceberg "table property" analog for
+    * artifacts that travel WITH the table — dedup Bloom sketches, stats
+    * blobs). Written atomically next to the manifests; a property persists
+    * until overwritten, so consumers built for daily ingest read it in one
+    * driver-side file read instead of re-scanning the table.
+    */
+  def putBlob(root: String, key: String, bytes: Array[Byte]): Unit = {
+    val target = metaDir(root).resolve(s"blob-$key.bin")
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def getBlob(root: String, key: String): Option[Array[Byte]] = {
+    val f = metaDir(root).resolve(s"blob-$key.bin")
+    if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+  }
+
   def appendMetrics(root: String, json: String): Unit = {
     Files.createDirectories(metaDir(root))
     Files.write(metaDir(root).resolve("metrics.jsonl"),

@@ -378,16 +378,20 @@ object Dedup {
       ids: DataFrame,
       prepped: DataFrame,
       idCol: String,
-      threshold: Double
+      threshold: Double,
+      prefix: Option[DataFrame] = None
   ): DataFrame = {
     val keepers = prepped.withColumn("__keeper",
       min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__md5"))))
     val exactEdges = keepers.where(col("id") =!= col("__keeper"))
       .select(col("__keeper").as("id_a"), col("id").as("id_b"))
-    val nearEdges = ppjoinFromPrepped(prepped, None, threshold)
-      .select(col("id_a"), col("id_b"))
-    val clusters = resolveClusters(exactEdges.unionByName(nearEdges))
+    val nearEdges = prefix match {
+      case Some(p) => ppjoinFromPrefixed(p, prepped, None, threshold)
+      case None    => ppjoinFromPrepped(prepped, None, threshold)
+    }
+    val clusters = resolveClusters(
+      exactEdges.unionByName(nearEdges.select(col("id_a"), col("id_b"))))
     ids.join(clusters.where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -429,15 +433,24 @@ object Dedup {
       idCol: String,
       threshold: Double
   ): DataFrame = {
+    // ONE rarity order + ONE ranked prefix frame per side, shared by BOTH
+    // PPJoin passes (batch×corpus cross, batch self): the prefix theorem
+    // holds for any fixed total order, so the union-wide df table serves
+    // the self pass too. Round 4 rebuilt freq + prefix inside each
+    // ppjoinFromPrepped call — the measured q62/q84 residual.
+    val freq = materialize(shingleFreq(Seq(bp, cp)))
+    val bpPrefix = materialize(prefixOf(bp, freq, threshold))
+    val cpPrefix = materialize(prefixOf(cp, freq, threshold))
     // exact collisions with the corpus: digest semi-join (never the text)
     val exactHit = bp.select(col("id"), col("__md5"))
       .join(cp.select(col("__md5")).distinct(), Seq("__md5"), "left_semi")
       .select(col("id"))
     // near collisions with the corpus: cross-table prefix-filtered jaccard
-    val nearHit = ppjoinFromPrepped(cp, Some(bp), threshold)
+    val nearHit = ppjoinFromPrefixed(cpPrefix, cp, Some((bpPrefix, bp)), threshold)
       .select(col("id_b").as("id")).distinct()
     // batch-internal keep-list (exact ∪ near clusters, min id kept)
-    dedupDocsFromPrepped(batch.select(col(idCol)), bp, idCol, threshold)
+    dedupDocsFromPrepped(batch.select(col(idCol)), bp, idCol, threshold,
+      prefix = Some(bpPrefix))
       .join(exactHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -458,7 +471,8 @@ object Dedup {
       blockKey: org.apache.spark.sql.Column,
       shingleN: Int,
       root: String,
-      nBuckets: Int = 32
+      nBuckets: Int = 32,
+      bloomFpp: Option[Double] = None
   ): Unit = {
     val prep = corpus.select(
       col(idCol).as("id"), blockKey.as("blk"),
@@ -468,6 +482,19 @@ object Dedup {
     graft.lake.IcebergLite.writeTable(prep, root,
       pmod(graft.functions.PolyHash(col("blk").cast("string")), lit(nBuckets.toLong)),
       nBuckets, lineage = s"dedup-index(shingleN=$shingleN)")
+    // Persist the ingest Bloom sketches as snapshot blobs: built ONCE here
+    // (off the just-written signature table — columnar read, no re-shingle,
+    // no corpus text), consumed by every subsequent
+    // [[dedupIncrementalBloomIndexed]] ingest with zero corpus scans.
+    bloomFpp.foreach { fpp =>
+      val idx = readIndex(corpus.sparkSession, root)
+      graft.lake.IcebergLite.putBlob(root, "bloom-digest",
+        bloomOf(idx.select(xxhash64(col("__md5")).as("k")), "k", fpp))
+      graft.lake.IcebergLite.putBlob(root, "bloom-shingle",
+        bloomOf(idx.select(explode(col("sh")).as("k")), "k", fpp))
+      graft.lake.IcebergLite.appendMetrics(root,
+        s"""{"job":"dedup-index-blooms","fpp":$fpp}""")
+    }
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
@@ -492,6 +519,34 @@ object Dedup {
         col("__md5"), col("sz"))),
       idCol, threshold)
 
+  /** Bloom-prefiltered ingest against a PERSISTED index whose sketches
+    * were written by [[writeIndex]]`(bloomFpp = Some(...))`: daily ingest
+    * builds blooms ZERO times — the two sketches arrive as snapshot blobs
+    * (one driver file read each), the corpus side streams signatures off
+    * the index table, and only the batch is shingled. Admissions are
+    * IDENTICAL to [[dedupIncremental]] (bloom negatives guaranteed novel,
+    * positives verified by the exact joins).
+    */
+  def dedupIncrementalBloomIndexed(
+      batch: DataFrame,
+      root: String,
+      idCol: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int = 3,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    def blob(k: String) = graft.lake.IcebergLite.getBlob(root, k).getOrElse(
+      throw new IllegalStateException(
+        s"index at $root has no '$k' sketch — writeIndex with bloomFpp set"))
+    val cp = materialize(readIndex(spark, root)
+      .select(col("id"), col("blk"), col("sh"), col("__md5"), col("sz")))
+    dedupIncrementalBloomPrepped(batch,
+      prepDocs(batch, idCol, textCol, blockKey, shingleN), cp,
+      blob("bloom-digest"), blob("bloom-shingle"), idCol, threshold)
+  }
+
   /** Serialized Bloom filter over a long-key column — built with Spark's
     * native sketch aggregation (one pass, partial-merged, KB-MB result).
     * At production scale the bytes persist alongside the dedup index
@@ -502,10 +557,12 @@ object Dedup {
     // size by (approximate) DISTINCT keys: count() counts occurrences, and
     // a shingle frame repeats each shingle once per document — sizing from
     // occurrences inflates the sketch 10-100x and past ~10^13 occurrences
-    // exceeds the bit-array limit outright. approx_count_distinct is one
-    // agg pass; the 1.1 margin absorbs its error on the safe side.
+    // exceeds the bit-array limit outright. approx_count_distinct at
+    // rsd=0.01 (vs the ~5% default) keeps a 1.1 margin > 10 sigma of the
+    // estimator — an undersized filter would EXCEED the requested fpp and,
+    // in incremental dedup, silently drop novel documents.
     val n = math.max(
-      (keys.agg(approx_count_distinct(col(keyCol))).head().getLong(0) *
+      (keys.agg(approx_count_distinct(col(keyCol), 0.01)).head().getLong(0) *
         1.1).toLong, 64L)
     val bf = keys.stat.bloomFilter(keyCol, n, fpp)
     val bos = new java.io.ByteArrayOutputStream()
@@ -561,17 +618,43 @@ object Dedup {
       cp.select(xxhash64(col("__md5")).as("k")), "k", fpp)
     val shingleBloom = bloomOf(
       cp.select(explode(col("sh")).as("k")), "k", fpp)
+    dedupIncrementalBloomPrepped(batch, bp, cp, digestBloom, shingleBloom,
+      idCol, threshold)
+  }
+
+  /** [[dedupIncrementalBloom]] body over prepped sides + prebuilt sketches
+    * — shared with [[dedupIncrementalBloomIndexed]], where the sketches
+    * arrive from the index's snapshot blobs instead of two corpus scans.
+    */
+  private def dedupIncrementalBloomPrepped(
+      batch: DataFrame,
+      bp: DataFrame,
+      cp: DataFrame,
+      digestBloom: Array[Byte],
+      shingleBloom: Array[Byte],
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
     val flagged = materialize(bp
       .withColumn("__exP", mightContain(digestBloom, xxhash64(col("__md5"))))
       .withColumn("__nearP", exists(col("sh"), h => mightContain(shingleBloom, h))))
+    // ONE rarity order + prefix frame per side, as in dedupIncremental.
+    // The bloom prunes the CROSS pass's batch side by filtering the shared
+    // prefix frame by flagged id — valid because the rank window partitions
+    // by id, so a row subset of the frame IS the subset's prefix.
+    val freq = materialize(shingleFreq(Seq(bp, cp)))
+    val bpPrefix = materialize(prefixOf(bp, freq, threshold))
+    val cpPrefix = materialize(prefixOf(cp, freq, threshold))
     val exactHit = flagged.where(col("__exP"))
       .select(col("id"), col("__md5"))
       .join(cp.select(col("__md5")).distinct(), Seq("__md5"), "left_semi")
       .select(col("id"))
-    val nearHit = ppjoinFromPrepped(cp,
-        Some(flagged.where(col("__nearP")).drop("__exP", "__nearP")), threshold)
+    val nearIds = flagged.where(col("__nearP")).select(col("id"))
+    val nearHit = ppjoinFromPrefixed(cpPrefix, cp,
+        Some((bpPrefix.join(nearIds, Seq("id"), "left_semi"), bp)), threshold)
       .select(col("id_b").as("id")).distinct()
-    dedupDocsFromPrepped(batch.select(col(idCol)), bp, idCol, threshold)
+    dedupDocsFromPrepped(batch.select(col(idCol)), bp, idCol, threshold,
+      prefix = Some(bpPrefix))
       .join(exactHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
@@ -679,35 +762,73 @@ object Dedup {
       b: Option[DataFrame],
       threshold: Double
   ): DataFrame = {
-    def long(df: DataFrame) = df.where(col("sz") > 0)
-      .select(col("id"), col("blk"), col("sz"), explode(col("sh")).as("shingle"))
-    val freq = (Seq(a) ++ b).map(long).reduce(_ unionByName _)
+    val freq = shingleFreq(Seq(a) ++ b)
+    ppjoinFromPrefixed(
+      prefixOf(a, freq, threshold), a,
+      b.map(bp => (prefixOf(bp, freq, threshold), bp)), threshold)
+  }
+
+  /** Exploded (shingle, id, blk, sz) rows of a prep frame (sz = 0 rows
+    * dropped — they cannot reach any threshold > 0).
+    */
+  private def longForm(df: DataFrame): DataFrame = df.where(col("sz") > 0)
+    .select(col("id"), col("blk"), col("sz"), explode(col("sh")).as("shingle"))
+
+  /** Global shingle document-frequency table over one or more prep sides —
+    * the rarity order the prefix theorem ranks by. The theorem holds for
+    * ANY fixed total order shared by everything joined, so composite
+    * operators ([[dedupIncremental]]) compute this ONCE over the union of
+    * all sides and feed the same table to every prefix frame — cross AND
+    * self passes (the round-4 shape recomputed it once per PPJoin call,
+    * the measured residual of q62/q84).
+    */
+  private[text] def shingleFreq(sides: Seq[DataFrame]): DataFrame =
+    sides.map(longForm).reduce(_ unionByName _)
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    def prefix(df: DataFrame) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-      long(df).join(freq, Seq("shingle"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-        .select(col("shingle"), col("blk"), col("id"), col("sz"))
-    }
+
+  /** Ranked PREFIX frame of one prep side under a given rarity order: each
+    * doc keeps its floor((1−t)·|A|)+1 rarest shingles. Because the rank
+    * window partitions by id, filtering this frame by id yields exactly
+    * the prefix of the retained docs — subsets need no re-rank.
+    */
+  private[text] def prefixOf(
+      prepped: DataFrame, freq: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    longForm(prepped).join(freq, Seq("shingle"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select(col("shingle"), col("blk"), col("id"), col("sz"))
+  }
+
+  /** Candidate-join + verify stages over PRE-BUILT prefix frames — the
+    * entry point that lets [[dedupIncrementalPrepped]] build each side's
+    * prefix once and run both its cross and self passes from the same
+    * cached frames. `a`/payload pairs: (prefix frame, prep frame); self
+    * mode when `b` is None.
+    */
+  private[text] def ppjoinFromPrefixed(
+      aPrefix: DataFrame,
+      a: DataFrame,
+      b: Option[(DataFrame, DataFrame)],
+      threshold: Double
+  ): DataFrame = {
     val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") >=
       lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double")
     val cand = (b match {
       case None =>
-        val p = prefix(a)
-        p.as("a").join(p.as("b"),
+        aPrefix.as("a").join(aPrefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
             col("a.id") < col("b.id") && sizeOk)
-      case Some(bp) =>
-        prefix(a).as("a").join(prefix(bp).as("b"),
+      case Some((bPrefix, _)) =>
+        aPrefix.as("a").join(bPrefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.blk") === col("b.blk") &&
             sizeOk)
     }).select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val pa = a.select(col("id").as("id_a"), col("sh").as("sh_a"),
       col("sz").as("sz_a"))
-    val pb = b.getOrElse(a).select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
+    val pb = b.map(_._2).getOrElse(a).select(col("id").as("id_b"),
+      col("sh").as("sh_b"), col("sz").as("sz_b"))
     cand.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
         graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b"))

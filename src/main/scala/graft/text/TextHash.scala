@@ -223,6 +223,11 @@ object TextHash {
         sequence(lit(1), greatest(m - (w - 1), lit(1))),
         i => array_min(slice(hsv, i, least(lit(w), m))))))
     }), 1)
-    when(length(text) < k, array().cast("array<long>")).otherwise(fps)
+    // null text takes the empty-array branch too: without the isNull guard
+    // it falls to `fps`, where sequence(1, null) nulls the whole result —
+    // breaking the documented "shorter than k selects nothing" rule for
+    // callers that don't route through an explode.
+    when(text.isNull || length(text) < k, array().cast("array<long>"))
+      .otherwise(fps)
   }
 }

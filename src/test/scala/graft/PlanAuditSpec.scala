@@ -294,6 +294,35 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("incremental dedup: ONE shared rarity order — prefix/freq cached, zero live explodes") {
+    // dedupIncremental runs TWO PPJoin passes (batch×corpus cross + batch
+    // self). Round 4 rebuilt the shingle-df table and the ranked prefix
+    // window inside each pass; round 5 hoists them into shared cached
+    // frames. Pin: the live plan has NO GenerateExec (every shingle explode
+    // is inside a cached build) and NO live aggregation producing `df` —
+    // i.e. the freq table is computed at most once, at cache-build time.
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    graft.text.Dedup.withCache {
+      val out = graft.text.Dedup.dedupIncremental(
+        docs.where(pmod(col("doc_id"), lit(5L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(5L)) =!= 0),
+        "doc_id", "text", col("lang"), threshold = 0.7)
+      val live = out.queryExecution.executedPlan
+      val gens = live.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }.size
+      assert(gens === 0,
+        s"shingle explodes must be served from the cached prefix frames:\n$live")
+      val freqAggs = live.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.resultExpressions.exists(_.name == "df") => a }.size
+      assert(freqAggs === 0,
+        s"the rarity order must come from the ONE cached freq table:\n$live")
+      assert(live.toString.contains("InMemoryTableScan"),
+        "prefix frames must be served from cache")
+      assert(out.count() > 0)
+    }
+  }
+
   test("interval join (q95): equi hash join with range residual — never a theta/BNLJ") {
     val p = plan(SparkEntry.queries("q95_interval_join")(spark, sfSmall))
     assert(p.contains("HashJoin"), s"interval join must hash on the key:\n$p")
