@@ -842,10 +842,11 @@ object SparkEntry {
       // feature-hashing embedding: text → signed bag-of-words vector with
       // no vocabulary/model — the zero-dependency featurizer feeding
       // semanticDedup/ANN for corpora without embeddings. Values are exact
-      // ±1 sums → strict cross-engine compare with no rounding
+      // ±1 sums → strict cross-engine compare with no rounding. dim=256 is
+      // the production width the native one-pass kernel exists for.
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(graft.text.TextHash.hashedBow(col("text"), 16))
+          posexplode(graft.text.TextHash.hashedBow(col("text"), 256))
             .as(Seq("dim", "v")))
         .select(col("doc_id"), col("dim").cast("int").as("dim"), col("v"))
     }),
@@ -1066,6 +1067,20 @@ object SparkEntry {
       graft.temporal.TranscriptStats.roleTransitions(
         ev(s, dir), convCol = "user_id", orderCols = Seq("ts", "event_id"),
         roleCol = "event_type")),
+
+    "q109_blocklist_join" -> ((s, dir) => {
+      // banned-term gate with the list as DATA (the 10⁵-10⁶-entry
+      // compliance-list shape): token hits via explode + broadcast join,
+      // phrase hits via first-token banding + padded-contains verify.
+      // "sort merge"/"sort scan" share a band key on purpose.
+      import s.implicits._
+      val terms = Seq("dup", "slow", "sort merge", "sort scan",
+        "Table  Scan").toDF("term")
+      graft.text.Blocklist.scoreJoin(
+          Tables.load(s, dir, "documents"), "doc_id", col("text"), terms)
+        .select(col("doc_id"), col("n_word_hits"), col("n_phrase_hits"),
+          col("blocked"))
+    }),
 
     "q94_fim" -> ((s, dir) =>
       // fill-in-the-middle pretraining prep: hash-selected half of the
@@ -2573,19 +2588,25 @@ object SparkEntry {
     },
 
     "q71_hashed_bow" -> {
-      // per-dimension signed-count fold over the token hashes — same ±1
-      // terms, order-free integer sums in double form
+      // signed-count per (doc, bucket) via unnest + GROUP BY — order-free
+      // exact ±1 sums, then a doc × range(dim) frame fills the zero dims.
+      // (The former per-dimension list_reduce oracle was O(dim) expressions
+      // — unusable at the production width this query now runs at.)
       val th = s"list_transform(${OracleSqlGen.toks("text")}, tk -> ${OracleSqlGen.poly("tk")})"
-      def dimExpr(j: Int): String =
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(th, h -> " +
-          s"CASE WHEN h % 16 = $j THEN " +
-          s"(CASE WHEN (h >> 8) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) " +
-          s"ELSE CAST(0.0 AS DOUBLE) END)), (a, x) -> a + x)"
-      val dims = (0 until 16).map(j => s"{'dim': $j, 'v': ${dimExpr(j)}}")
       s"""WITH t AS (SELECT doc_id, $th AS th FROM documents),
-         |e AS (SELECT doc_id, unnest([${dims.mkString(", ")}]) AS u FROM t)
-         |SELECT doc_id, CAST(u.dim AS INTEGER) AS dim, u.v AS v
-         |FROM e""".stripMargin
+         |u AS (SELECT doc_id, unnest(th) AS h FROM t),
+         |s AS (
+         |  SELECT doc_id, h % 256 AS dim,
+         |    sum(CASE WHEN (h >> 8) & 1 = 1 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE CAST(-1.0 AS DOUBLE) END) AS v
+         |  FROM u GROUP BY 1, 2
+         |), d AS (
+         |  SELECT doc_id, r.dim AS dim
+         |  FROM documents CROSS JOIN range(0, 256) r(dim)
+         |)
+         |SELECT d.doc_id, CAST(d.dim AS INTEGER) AS dim,
+         |  coalesce(s.v, CAST(0.0 AS DOUBLE)) AS v
+         |FROM d LEFT JOIN s ON s.doc_id = d.doc_id AND s.dim = d.dim""".stripMargin
     },
 
     "q60_unigram_lm" -> {
@@ -3103,6 +3124,31 @@ object SparkEntry {
         |    CAST(sum(n_transitions) OVER (PARTITION BY prev_role)
         |      AS DOUBLE), 6) AS p
         |FROM c""".stripMargin
+    },
+
+    "q109_blocklist_join" -> {
+      // the literal-path oracle shape (q101) with the join path's list —
+      // the brute per-row evaluation IS the semantic ground truth the
+      // banded/broadcast machinery must reproduce.
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '
+        |      AS pad,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(tk, ['dup', 'slow'])) AS INT)
+        |    AS n_word_hits,
+        |  CAST(len(list_filter(['sort merge', 'sort scan', 'table scan'],
+        |    ph -> contains(pad, ' ' || ph || ' '))) AS INT)
+        |    AS n_phrase_hits,
+        |  (len(list_intersect(tk, ['dup', 'slow'])) > 0 OR
+        |   len(list_filter(['sort merge', 'sort scan', 'table scan'],
+        |     ph -> contains(pad, ' ' || ph || ' '))) > 0)
+        |    AS blocked
+        |FROM p""".stripMargin
     },
 
     "q94_fim" -> {

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+
+/** Signed feature-hashing bag-of-words over a token array: dimension j
+  * accumulates ±1 per token whose cross-engine polynomial hash lands in
+  * bucket j = h mod dim, sign from hash bit 8 — the classic signed hashing
+  * trick (Weinberger et al. 2009) that keeps collisions unbiased.
+  *
+  * Native kernel: ONE int-array accumulator pass over the tokens —
+  * O(tokens + dim) per row. The declarative HOF twin
+  * ([[graft.text.TextHash.hashedBowDeclarative]], pinned equal by spec)
+  * rebuilds and scans a dim-length array per token inside `aggregate` —
+  * O(tokens·dim) work AND allocation per row, which at production dims
+  * (256-1024) made the zero-dependency featurizer ~dim/2× slower than
+  * needed (the round-4 verdict's finding #2).
+  *
+  * Values are exact small integers in double form — strict cross-engine
+  * comparable with no rounding; empty token array → all-zero vector.
+  */
+case class HashedBow(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 1 && dim <= 65536, s"dim must be in [1,65536], got $dim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"HashedBow needs array<string> tokens, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    HashedBow.bow(v.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedBow.bow($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBow =
+    copy(child = newChild)
+}
+
+object HashedBow {
+
+  /** All `dim` buckets in one pass. [[PolyHash.hash]] is non-negative
+    * (mod 2^32), so `h % dim` is already the positive bucket index.
+    */
+  def bow(toks: ArrayData, dim: Int): ArrayData = {
+    val acc = new Array[Double](dim)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      val h = PolyHash.hash(toks.getUTF8String(t).toString)
+      val j = (h % dim).toInt
+      acc(j) += (if (((h >>> 8) & 1L) == 1L) 1.0 else -1.0)
+      t += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  def apply(c: Column, dim: Int): Column =
+    GraftBridge.column(HashedBow(GraftBridge.expression(c), dim))
+}

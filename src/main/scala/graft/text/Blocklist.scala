@@ -58,4 +58,61 @@ object Blocklist {
       .withColumn("blocked",
         col("n_word_hits") > 0 || col("n_phrase_hits") > 0)
   }
+
+  /** [[score]] with the blocklist as DATA — the 10⁵-10⁶-entry compliance-
+    * list shape where baking terms into the plan stops scaling (plan size,
+    * and one substring scan per phrase per row). Identical verdict columns
+    * (spec-pinned against the literal path).
+    *
+    * Shape: canonicalization is shared with [[score]] (same lowercase/
+    * whitespace folding on BOTH terms and text). Word hits are an explode +
+    * broadcast equi-join on the token — each document token probes a hash
+    * table once, independent of list size. Phrase hits use a banded FIRST-
+    * TOKEN prefilter: a phrase can only match a document containing its
+    * first token, so candidates come from the same broadcast token join,
+    * and only candidate (doc, phrase) pairs re-fetch the padded text for
+    * the sentinel `contains` verify — the PPJoin candidate/verify shape,
+    * never |docs|×|phrases|.
+    *
+    * `terms` must have a string column `termCol`; empty/whitespace terms
+    * are dropped. Returns `df` + (n_word_hits, n_phrase_hits, blocked).
+    */
+  def scoreJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      terms: DataFrame,
+      termCol: String = "term"
+  ): DataFrame = {
+    val canon = terms.select(
+      regexp_replace(lower(trim(col(termCol))), "\\s+", " ").as("__term"))
+      .where(col("__term") =!= "").distinct()
+    val words = canon.where(!col("__term").contains(" "))
+    val phrases = canon.where(col("__term").contains(" "))
+      .withColumn("__tok0", split(col("__term"), " ").getItem(0))
+    val base = df.select(col(idCol).as("__bid"),
+      array_distinct(TextHash.lowerTokens(textCol)).as("__tk"),
+      concat(lit(" "),
+        regexp_replace(lower(trim(textCol)), "\\s+", " "), lit(" ")).as("__pad"))
+    val toks = base.select(col("__bid"), explode(col("__tk")).as("__tok"))
+    // tokens are DISTINCT per doc and terms distinct, so each (doc, term)
+    // pair appears at most once — plain counts ARE distinct-term counts
+    val wordHits = toks
+      .join(broadcast(words), col("__tok") === col("__term"))
+      .groupBy(col("__bid")).agg(count(lit(1)).cast("int").as("__nw"))
+    val phraseCand = toks
+      .join(broadcast(phrases), col("__tok") === col("__tok0"))
+      .select(col("__bid"), col("__term"))
+    val phraseHits = phraseCand
+      .join(base.select(col("__bid"), col("__pad")), Seq("__bid"))
+      .where(contains(col("__pad"), concat(lit(" "), col("__term"), lit(" "))))
+      .groupBy(col("__bid")).agg(count(lit(1)).cast("int").as("__np"))
+    df.join(wordHits.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .join(phraseHits.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .withColumn("n_word_hits", coalesce(col("__nw"), lit(0)))
+      .withColumn("n_phrase_hits", coalesce(col("__np"), lit(0)))
+      .withColumn("blocked",
+        col("n_word_hits") > 0 || col("n_phrase_hits") > 0)
+      .drop("__nw", "__np")
+  }
 }

@@ -169,7 +169,15 @@ object TextHash {
     * matter). Values are exact small integers in double form — strict
     * cross-engine comparable with no rounding.
     */
-  def hashedBow(text: Column, dim: Int): Column = {
+  def hashedBow(text: Column, dim: Int): Column =
+    graft.functions.HashedBow(tokens(text), dim)
+
+  /** Declarative HOF twin of [[hashedBow]] — kept ONLY as the parity-spec
+    * pin for the native kernel: the `aggregate` step rebuilds and scans a
+    * dim-length array per token (O(tokens·dim) work + allocation per row),
+    * which is ~dim/2× the native kernel's cost at production dims.
+    */
+  private[graft] def hashedBowDeclarative(text: Column, dim: Int): Column = {
     val hs = transform(tokens(text), polyHash _)
     aggregate(hs, array(Seq.fill(dim)(lit(0.0)): _*),
       (acc, h) => transform(sequence(lit(0), lit(dim - 1)),

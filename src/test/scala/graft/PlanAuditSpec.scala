@@ -368,6 +368,14 @@ class PlanAuditSpec extends GraftSuite {
     assert(!p.contains("Join"), s"blocklist must not join:\n$p")
   }
 
+  test("blocklist join path (q109): term joins broadcast; no cartesian/BNLJ") {
+    val p = plan(SparkEntry.queries("q109_blocklist_join")(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"),
+      s"term lists must broadcast to the token probes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase verify must ride the banded equi join, never |docs|x|phrases|:\n$p")
+  }
+
   test("tool-call audit (q98): one scan, one partial-agg'd aggregation, no join") {
     val df = SparkEntry.queries("q98_tool_args")(spark, sfSmall)
     val p = plan(df)

@@ -47,6 +47,57 @@ class Round5Spec extends GraftSuite {
     assert(e.getMessage.contains("bloom"))
   }
 
+  test("hashedBow native kernel == declarative fold over the real corpus + edges") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet").limit(300)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (-1L, ""), (-2L, "   "), (-3L, "one"),
+        (-4L, "a b c a b a"), (-5L, "\ttabs\nand newlines  mixed\t"))
+        .toDF("doc_id", "text"))
+    for (dim <- Seq(2, 16, 256)) {
+      val bad = docs.select(
+        graft.text.TextHash.hashedBow(col("text"), dim).as("nat"),
+        graft.text.TextHash.hashedBowDeclarative(col("text"), dim).as("dec"))
+        .where(not(col("nat") === col("dec")))
+        .count()
+      assert(bad === 0, s"native/declarative hashedBow diverge at dim=$dim")
+    }
+    // null text: both forms null-propagate
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.text.TextHash.hashedBow(col("text"), 8).as("nat"),
+        graft.text.TextHash.hashedBowDeclarative(col("text"), 8).as("dec"))
+      .head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("blocklist: broadcast-join path == literal path on a seeded corpus") {
+    // real corpus + planted rows that hit each rule class: whole-token
+    // word, mid-token non-hit, multi-space phrase, shared-first-token
+    // phrases, case folding
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet").limit(200)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (-1L, "this has dup inside"), (-2L, "duplicate is not dup-licate"),
+        (-3L, "a SORT   merge here"), (-4L, "sort scan and sort merge both"),
+        (-5L, "sortmerge glued misses"), (-6L, "Table  Scan case folds"),
+        (-7L, ""), (-8L, "slow")).toDF("doc_id", "text"))
+    val terms = Seq("dup", "slow", "sort merge", "sort scan", "Table  Scan")
+    val lit_ = graft.text.Blocklist.score(docs, col("text"), terms)
+      .select(col("doc_id"), col("n_word_hits"), col("n_phrase_hits"), col("blocked"))
+    val join_ = graft.text.Blocklist.scoreJoin(docs, "doc_id", col("text"),
+        terms.toDF("term"))
+      .select(col("doc_id"), col("n_word_hits"), col("n_phrase_hits"), col("blocked"))
+    assert(lit_.except(join_).count() === 0 && join_.except(lit_).count() === 0,
+      "literal and broadcast-join blocklists must give identical verdicts")
+    // sanity on the planted rows
+    val m = join_.where(col("doc_id") < 0).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(m(-1L) == ((1, 0, true)) && m(-2L) == ((0, 0, false)))
+    assert(m(-3L) == ((0, 1, true)) && m(-4L) == ((0, 2, true)))
+    assert(m(-5L) == ((0, 0, false)) && m(-6L) == ((0, 1, true)))
+    assert(m(-7L) == ((0, 0, false)) && m(-8L) == ((1, 0, true)))
+  }
+
   test("winnow: null text selects nothing (empty array), matching the shorter-than-k rule") {
     val df = Seq((1L, "abcdefghij"), (2L, null.asInstanceOf[String]), (3L, "ab"))
       .toDF("id", "text")
