@@ -78,12 +78,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"flagship asof+window turns/sec","value":${tps.toLong},""" +
         s""""unit":"turns/sec","queries":$qs,"sf":"$sfDir",""" +
         s""""flagship_rows":$rows,"flagship_sec":${ms / 1000.0},""" +
         s""""query_total_sec":${f"$total%.2f"},"cpus":$cpus,""" +
-        s""""warmups":$warmups,"repeats":$repeats}""")
+        s""""warmups":$warmups,"repeats":$repeats}"""
+    println(json)
+    // ALSO persist the full map as a file: the round-4 log capture
+    // truncated the (long) stdout line, losing q01-q24's times — the file
+    // is the machine-readable artifact per-query diffs read.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] BENCH_LATEST.json write failed: ${t.getMessage}") }
     spark.stop()
   }
 }

@@ -596,14 +596,17 @@ object SparkEntry {
     }),
 
     "q53_weighted_quantile" -> ((s, dir) => {
-      // frequency-weight exact quantile (weightedQuantile): the oracle
-      // replays the same weighted-CDF walk with window cumsums — exact
-      // cross-engine because l_quantity weights are integral, so every
-      // cumulative sum is an exact integer in double arithmetic
-      val x = col("l_extendedprice"); val w = col("l_quantity")
-      li(s, dir).groupBy(col("l_returnflag")).agg(
-        round(WeightedStats.weightedQuantile(x, w, 0.5), 6).as("wq50"),
-        round(WeightedStats.weightedQuantile(x, w, 0.25), 6).as("wq25"))
+      // frequency-weight exact quantile via the WINDOW path (O(1) state
+      // per row — the mega-group-safe route; the buffered aggregate form
+      // is spec-pinned identical): same weighted-CDF walk as the oracle —
+      // exact cross-engine because l_quantity weights are integral, so
+      // every cumulative sum is an exact integer in double arithmetic
+      WeightedStats.weightedQuantilesGrouped(
+          li(s, dir), Seq("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity"),
+          Seq("wq50" -> 0.5, "wq25" -> 0.25))
+        .select(col("l_returnflag"),
+          round(col("wq50"), 6).as("wq50"), round(col("wq25"), 6).as("wq25"))
     }),
 
     "q52_ivf_topk" -> ((s, dir) => {

@@ -194,4 +194,50 @@ object WeightedStats {
     val vhi = walked.getField("vhi")
     vlo + (h - floor(h)) * (vhi - vlo)
   }
+
+  /** [[weightedQuantile]] via WINDOW cumsums instead of a per-group
+    * collect_list buffer — identical exact semantics (same (v,w) sort
+    * order, same virtual-index interpolation; spec-pinned equal), but
+    * O(1) window state per row: sort-within-group + running weight cumsum
+    * + conditional min. This removes the aggregate form's one documented
+    * ceiling — groups must fit an executor's buffer — so it is the path
+    * for mega-groups (a 10⁶-row single group runs comfortably; the
+    * buffered walk would hold and doubly traverse the whole list).
+    *
+    * The aggregate form stays for composability (it is one expression
+    * usable inside any agg). Returns one row per group: groupCols ++ one
+    * double column per (name, q).
+    */
+  def weightedQuantilesGrouped(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      w: Column,
+      qs: Seq[(String, Double)]
+  ): org.apache.spark.sql.DataFrame = {
+    require(qs.nonEmpty, "need at least one (name, q)")
+    val gs = groupCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(gs: _*)
+      .orderBy(col("__v"), col("__w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running cum over the (v,w) order, then the group total rides the
+    // SAME partitioning (max of a nondecreasing cumsum = total) — one
+    // exchange + one sort for both windows
+    val c = df.select(gs :+ x.cast("double").as("__v") :+
+        w.cast("double").as("__w"): _*)
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tw", max(col("__cum")).over(Window.partitionBy(gs: _*)))
+    // __tw is constant per group, so grouping by it (the oracle's trick)
+    // makes h available to the conditional-min aggregates
+    val aggs = qs.map { case (nm, q) =>
+      val h = lit(q) * (col("__tw") - lit(1.0))
+      val vlo = min(when(col("__cum") > floor(h), col("__v")))
+      val vhi = min(when(col("__cum") > ceil(h), col("__v")))
+      (vlo + (h - floor(h)) * (vhi - vlo)).as(nm)
+    }
+    c.groupBy(gs :+ col("__tw"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__tw")
+  }
 }

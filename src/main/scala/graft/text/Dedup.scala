@@ -92,6 +92,14 @@ object Dedup {
     *   jobs. 50k pairs ≈ ~2 MB broadcast: safe on any driver. 0 disables
     *   (pure BSP; spec-proven equivalent).
     */
+  /** Observability for the last [[resolveClusters]] run (BSP rounds used;
+    * whether the driver finish closed the tail) — read by the CC scale
+    * bench and the convergence-bound specs. Best-effort under concurrency
+    * (one CC run at a time is the engine's own usage).
+    */
+  @volatile private[graft] var lastCcRounds: Int = 0
+  @volatile private[graft] var lastCcDriverFinished: Boolean = false
+
   def resolveClusters(
       pairs: DataFrame,
       idA: String = "id_a",
@@ -188,6 +196,7 @@ object Dedup {
             coalesce(col("__root"), col("label")).as("label")), reliable = true)
       true
     }
+    lastCcDriverFinished = false
     while (!converged && round < maxRounds) {
       round += 1
       try {
@@ -233,8 +242,10 @@ object Dedup {
         if (reliableRound) { lastReliable = jumped; lastReliableRound = round }
         // the relabel count is the cheap proxy for a small active frontier
         if (!converged && driverFinishEdges > 0 && finishAttempts > 0 &&
-            changed <= driverFinishEdges)
+            changed <= driverFinishEdges) {
           converged = tryDriverFinish()
+          if (converged) lastCcDriverFinished = true
+        }
       } catch {
         case e: org.apache.spark.SparkException =>
           retries += 1
@@ -252,6 +263,7 @@ object Dedup {
       }
     }
     edges.unpersist()
+    lastCcRounds = round
     // Returning partially-propagated labels would silently treat members of
     // one dup cluster as distinct docs downstream (dedupDocs keep-list) —
     // fail loudly instead. maxRounds bounds ROUNDS, not correctness:

@@ -98,6 +98,79 @@ class Round5Spec extends GraftSuite {
     assert(m(-7L) == ((0, 0, false)) && m(-8L) == ((1, 0, true)))
   }
 
+  test("weighted quantile: window path == buffered aggregate on real groups") {
+    import graft.stats.WeightedStats
+    val li = spark.read.parquet(s"$sfSmall/lineitem.parquet")
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      WeightedStats.weightedQuantile(
+        col("l_extendedprice"), col("l_quantity"), 0.5).as("wq50"),
+      WeightedStats.weightedQuantile(
+        col("l_extendedprice"), col("l_quantity"), 0.25).as("wq25"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val win = WeightedStats.weightedQuantilesGrouped(li, Seq("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"),
+      Seq("wq50" -> 0.5, "wq25" -> 0.25))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(win.keySet == agg.keySet)
+    win.keySet.foreach { k =>
+      assert(approx(win(k)._1, agg(k)._1) && approx(win(k)._2, agg(k)._2),
+        s"window/aggregate quantiles diverge for $k: ${win(k)} vs ${agg(k)}")
+    }
+  }
+
+  test("weighted quantile window path: a 10^6-row SINGLE group, checked against a driver replay") {
+    import graft.stats.WeightedStats
+    // one mega-group — the shape whose collected buffer makes the
+    // aggregate form uncomfortable; the window path is O(1) state/row.
+    // Deterministic integral values/weights → exact double arithmetic.
+    val n = 1000000
+    val df = spark.range(n).select(
+      lit("g").as("g"),
+      pmod(xxhash64(col("id")), lit(10000L)).cast("double").as("v"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(9L)) + 1L).cast("double").as("w"))
+    val got = WeightedStats.weightedQuantilesGrouped(df, Seq("g"),
+      col("v"), col("w"), Seq("wq50" -> 0.5, "wq90" -> 0.9))
+      .head()
+    // driver replay of the same virtual-index walk
+    val rows = df.select(col("v"), col("w")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val tw = rows.map(_._2).sum
+    def replay(q: Double): Double = {
+      val h = q * (tw - 1.0)
+      var cum = 0.0; var vlo = Double.NaN; var vhi = Double.NaN
+      rows.foreach { case (v, w) =>
+        cum += w
+        if (vlo.isNaN && cum > math.floor(h)) vlo = v
+        if (vhi.isNaN && cum > math.ceil(h)) vhi = v
+      }
+      vlo + (h - math.floor(h)) * (vhi - vlo)
+    }
+    assert(approx(got.getDouble(1), replay(0.5), 1e-12),
+      s"wq50 ${got.getDouble(1)} != ${replay(0.5)}")
+    assert(approx(got.getDouble(2), replay(0.9), 1e-12),
+      s"wq90 ${got.getDouble(2)} != ${replay(0.9)}")
+  }
+
+  test("resolveClusters convergence bound: a 10^5-edge chain closes within log2(n)+1 rounds") {
+    // the long chain is CC's worst case (diameter = edge count); pointer
+    // jumping must keep rounds logarithmic. The full-scale (10^7-edge)
+    // evidence run lives in graft.run.CcBench / BASELINE.md; this pins the
+    // same bound at spec scale, driver finish DISABLED so the bound tests
+    // pure BSP propagation.
+    val n = 100000L
+    val pairs = spark.range(n)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val out = graft.text.Dedup.resolveClusters(pairs, maxRounds = 40,
+      driverFinishEdges = 0)
+    val agg = out.agg(count_distinct(col("cluster_id")), max(col("cluster_id")),
+      count(lit(1))).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 0L && agg.getLong(2) == n + 1)
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 1
+    val rounds = graft.text.Dedup.lastCcRounds
+    assert(rounds <= bound,
+      s"chain of $n edges took $rounds rounds > log2 bound $bound")
+  }
+
   test("winnow: null text selects nothing (empty array), matching the shorter-than-k rule") {
     val df = Seq((1L, "abcdefghij"), (2L, null.asInstanceOf[String]), (3L, "ab"))
       .toDF("id", "text")

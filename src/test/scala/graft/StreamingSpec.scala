@@ -189,6 +189,58 @@ class StreamingSpec extends GraftSuite {
       s"stream admitted $streamed, batch fold admitted $a3 — must agree in-horizon")
   }
 
+  test("incremental dedup parity, NEAR path: streaming simhash dedup == batch near anti-join") {
+    import org.apache.spark.sql.functions._
+    import graft.text.Dedup
+    // The near half of daily ingest: near-dups here are whitespace variants
+    // — token-identical (so the 64-bit SimHash signatures are EQUAL and
+    // the streaming signature-key dedup fires) AND shingle-Jaccard ≥ 0.7
+    // (so dedupIncremental's near anti-join fires) while their md5 digests
+    // DIFFER (the exact path cannot catch them). Contract within the
+    // horizon: identical admitted sets; the documented residual delta is
+    // keeper CHOICE (streaming keeps first arrival, batch keeps min id) —
+    // fixture ids arrive in ascending order so the criteria coincide.
+    val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((4L, "alpha beta gamma delta "), // trailing space: near-dup of 1
+      (5L, "nova quasar pulsar star")).toDF("doc_id", "text")
+    val b3 = Seq((6L, " omega psi chi phi"), // leading space: near-dup of 2
+      (7L, "lorem ipsum dolor sit"),
+      (8L, "nova  quasar pulsar star")) // inner double space: near-dup of 5
+      .toDF("doc_id", "text")
+    val all = b1.unionByName(b2).unionByName(b3)
+    val blk = lit(1)
+    val a1 = Dedup.dedupDocs(b1, "doc_id", "text", blk).as[Long].collect().toSet
+    val c1 = all.where(col("doc_id").isin(a1.toSeq: _*))
+    val a2 = a1 ++ Dedup.dedupIncremental(b2, c1, "doc_id", "text", blk)
+      .as[Long].collect()
+    val c2 = all.where(col("doc_id").isin(a2.toSeq: _*))
+    val a3 = a2 ++ Dedup.dedupIncremental(b3, c2, "doc_id", "text", blk)
+      .as[Long].collect()
+    assert(a3 == Set(1L, 2L, 5L, 7L), s"batch fold admitted $a3")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.dedupSimhashStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("nearpar_out")
+      .outputMode("append").start()
+    input.addData((1L, "alpha beta gamma delta", ts(10)),
+      (2L, "omega psi chi phi", ts(20)))
+    q.processAllAvailable()
+    input.addData((4L, "alpha beta gamma delta ", ts(110)),
+      (5L, "nova quasar pulsar star", ts(120)))
+    q.processAllAvailable()
+    input.addData((6L, " omega psi chi phi", ts(210)),
+      (7L, "lorem ipsum dolor sit", ts(220)),
+      (8L, "nova  quasar pulsar star", ts(230)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nearpar_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == a3,
+      s"stream admitted $streamed, batch near fold admitted $a3 — must agree in-horizon")
+  }
+
   test("curation parity: streaming gates+dedup+split == batch curate keep set") {
     import org.apache.spark.sql.functions._
     import graft.text.Curation
