@@ -75,7 +75,10 @@ object Blocklist {
     * never |docs|×|phrases|.
     *
     * `terms` must have a string column `termCol`; empty/whitespace terms
-    * are dropped. Returns `df` + (n_word_hits, n_phrase_hits, blocked).
+    * are dropped. `idCol` must uniquely identify rows (the hit counts are
+    * aggregated per id and joined back — duplicate ids would merge counts
+    * across rows, where [[score]] scores each row independently).
+    * Returns `df` + (n_word_hits, n_phrase_hits, blocked).
     */
   def scoreJoin(
       df: DataFrame,

@@ -449,8 +449,9 @@ object Dedup {
     // PPJoin passes (batch×corpus cross, batch self): the prefix theorem
     // holds for any fixed total order, so the union-wide df table serves
     // the self pass too. Round 4 rebuilt freq + prefix inside each
-    // ppjoinFromPrepped call — the measured q62/q84 residual.
-    val freq = materialize(shingleFreq(Seq(bp, cp)))
+    // ppjoinFromPrepped call — the measured q62/q84 residual. freq lazy:
+    // see ppjoinFromPrepped (caching the wide shingle table regresses).
+    val freq = shingleFreq(Seq(bp, cp))
     val bpPrefix = materialize(prefixOf(bp, freq, threshold))
     val cpPrefix = materialize(prefixOf(cp, freq, threshold))
     // exact collisions with the corpus: digest semi-join (never the text)
@@ -654,7 +655,7 @@ object Dedup {
     // The bloom prunes the CROSS pass's batch side by filtering the shared
     // prefix frame by flagged id — valid because the rank window partitions
     // by id, so a row subset of the frame IS the subset's prefix.
-    val freq = materialize(shingleFreq(Seq(bp, cp)))
+    val freq = shingleFreq(Seq(bp, cp))
     val bpPrefix = materialize(prefixOf(bp, freq, threshold))
     val cpPrefix = materialize(prefixOf(cp, freq, threshold))
     val exactHit = flagged.where(col("__exP"))
@@ -774,9 +775,16 @@ object Dedup {
       b: Option[DataFrame],
       threshold: Double
   ): DataFrame = {
+    // Materialize the a-side prefix: the self-join references it on BOTH
+    // sides, and ReuseExchange only dedupes up to the exchange boundary —
+    // uncached, the whole explode+join+window subtree ran twice (measured
+    // at sf0.1: q27 4.3 → 1.3 s, q47 9.8 → 6.6 s warm). freq stays LAZY
+    // here deliberately: it is a wide shingle-keyed table whose cache
+    // write costs more than its partial-agg'd recompute (measured: caching
+    // it REGRESSED the cross mode q51 1.7 → 3.5 s).
     val freq = shingleFreq(Seq(a) ++ b)
     ppjoinFromPrefixed(
-      prefixOf(a, freq, threshold), a,
+      materialize(prefixOf(a, freq, threshold)), a,
       b.map(bp => (prefixOf(bp, freq, threshold), bp)), threshold)
   }
 
