@@ -36,11 +36,14 @@ object Blocklist {
     require(canon.forall(_.nonEmpty), "blocklist terms must be non-empty")
     val (phrases, words) = canon.distinct.partition(_.contains(' '))
 
+    // null text scores ZERO hits (not null): un-coalesced, size(null
+    // tokens) nulls n_word_hits and poisons `blocked` — and diverges from
+    // the join path, which drops null rows at the explode and backfills 0
     val wordHits =
       if (words.isEmpty) lit(0)
-      else size(array_intersect(
+      else coalesce(size(array_intersect(
         TextHash.lowerTokens(textCol),
-        lit(words.sorted.toArray)))
+        lit(words.sorted.toArray))), lit(0))
     // sentinel-padded canonical text: phrase boundaries are exactly spaces.
     // Let-bound through a single-element transform (the TextHash.winnow
     // idiom): referenced directly inside the filter lambda, the
@@ -49,9 +52,9 @@ object Blocklist {
       regexp_replace(lower(trim(textCol)), "\\s+", " "), lit(" "))
     val phraseHits =
       if (phrases.isEmpty) lit(0)
-      else element_at(transform(array(padded), pad =>
+      else coalesce(element_at(transform(array(padded), pad =>
         size(filter(lit(phrases.sorted.toArray),
-          p => contains(pad, concat(lit(" "), p, lit(" ")))))), 1)
+          p => contains(pad, concat(lit(" "), p, lit(" ")))))), 1), lit(0))
 
     df.withColumn("n_word_hits", wordHits)
       .withColumn("n_phrase_hits", phraseHits)

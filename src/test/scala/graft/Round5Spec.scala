@@ -80,7 +80,8 @@ class Round5Spec extends GraftSuite {
         (-1L, "this has dup inside"), (-2L, "duplicate is not dup-licate"),
         (-3L, "a SORT   merge here"), (-4L, "sort scan and sort merge both"),
         (-5L, "sortmerge glued misses"), (-6L, "Table  Scan case folds"),
-        (-7L, ""), (-8L, "slow")).toDF("doc_id", "text"))
+        (-7L, ""), (-8L, "slow"),
+        (-9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val terms = Seq("dup", "slow", "sort merge", "sort scan", "Table  Scan")
     val lit_ = graft.text.Blocklist.score(docs, col("text"), terms)
       .select(col("doc_id"), col("n_word_hits"), col("n_phrase_hits"), col("blocked"))
@@ -96,6 +97,9 @@ class Round5Spec extends GraftSuite {
     assert(m(-3L) == ((0, 1, true)) && m(-4L) == ((0, 2, true)))
     assert(m(-5L) == ((0, 0, false)) && m(-6L) == ((0, 1, true)))
     assert(m(-7L) == ((0, 0, false)) && m(-8L) == ((1, 0, true)))
+    // null text scores ZERO hits on BOTH paths (un-coalesced size(null)
+    // used to null the literal path's counts and poison `blocked`)
+    assert(m(-9L) == ((0, 0, false)))
   }
 
   test("weighted quantile: window path == buffered aggregate on real groups") {
