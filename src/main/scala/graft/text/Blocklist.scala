@@ -15,13 +15,13 @@ import org.apache.spark.sql.functions._
   *     text padded with sentinels, so "bad actor" hits across any run of
   *     whitespace but never mid-token.
   *
-  * Shape (the 100 TB story): a pure projection. The blocklist is a literal
-  * array baked into the plan (production lists are 10²-10⁴ terms — orders
-  * of magnitude under the codegen limits the IVF literal path documents);
-  * token matching is one `array_intersect` against a SORTED deduped literal,
-  * phrase matching one `filter` over a phrase-literal array. No join, no
-  * shuffle, no UDF. For million-entry lists, switch to a broadcast-join
-  * variant — at that size the list is data, not configuration.
+  * Shape (the 100 TB story): a pure projection. Token matching is one
+  * `array_intersect` against a SORTED deduped literal; phrase matching is
+  * ONE Aho–Corasick automaton pass per row ([[graft.functions
+  * .MultiContainsCount]] — the automaton rides as a codegen reference
+  * object, so plan size is constant and per-row cost is O(len) at any
+  * phrase count). No join, no shuffle, no UDF. For million-entry lists
+  * the list is data, not configuration — use [[scoreJoin]].
   */
 object Blocklist {
 
@@ -45,21 +45,36 @@ object Blocklist {
         TextHash.lowerTokens(textCol),
         lit(words.sorted.toArray))), lit(0))
     // sentinel-padded canonical text: phrase boundaries are exactly spaces.
-    // Let-bound through a single-element transform (the TextHash.winnow
-    // idiom): referenced directly inside the filter lambda, the
-    // regexp_replace would re-run once PER PHRASE per row.
+    // ONE Aho–Corasick automaton pass matches every phrase simultaneously
+    // (O(len) per row at ANY list size; the pre-round-5 `contains`-per-
+    // phrase form — kept as [[phraseHitsDeclarative]], the parity-spec
+    // twin — scanned the padded text once per phrase).
     val padded = concat(lit(" "),
       regexp_replace(lower(trim(textCol)), "\\s+", " "), lit(" "))
     val phraseHits =
       if (phrases.isEmpty) lit(0)
-      else coalesce(element_at(transform(array(padded), pad =>
-        size(filter(lit(phrases.sorted.toArray),
-          p => contains(pad, concat(lit(" "), p, lit(" ")))))), 1), lit(0))
+      else coalesce(graft.functions.MultiContainsCount(
+        padded, phrases.sorted.map(p => s" $p ")), lit(0))
 
     df.withColumn("n_word_hits", wordHits)
       .withColumn("n_phrase_hits", phraseHits)
       .withColumn("blocked",
         col("n_word_hits") > 0 || col("n_phrase_hits") > 0)
+  }
+
+  /** Declarative twin of the phrase gate — one `contains` scan per phrase
+    * (O(len·phrases) per row) — kept ONLY to parity-pin the automaton.
+    * Padded text is let-bound through a single-element transform (the
+    * TextHash.winnow idiom): referenced directly inside the filter lambda,
+    * the regexp_replace would re-run once PER PHRASE per row.
+    */
+  private[graft] def phraseHitsDeclarative(
+      textCol: Column, phrases: Seq[String]): Column = {
+    val padded = concat(lit(" "),
+      regexp_replace(lower(trim(textCol)), "\\s+", " "), lit(" "))
+    coalesce(element_at(transform(array(padded), pad =>
+      size(filter(lit(phrases.sorted.toArray),
+        p => contains(pad, concat(lit(" "), p, lit(" ")))))), 1), lit(0))
   }
 
   /** [[score]] with the blocklist as DATA — the 10⁵-10⁶-entry compliance-

@@ -175,6 +175,70 @@ class Round5Spec extends GraftSuite {
       s"chain of $n edges took $rounds rounds > log2 bound $bound")
   }
 
+  test("Aho-Corasick automaton: classic overlap set + distinct-count semantics") {
+    import graft.functions.AcAutomaton
+    // the textbook fail-chain stress: patterns that are suffixes/prefixes
+    // of each other must all fire from one pass
+    val ac = new AcAutomaton(Array("he", "she", "his", "hers"))
+    assert(ac.countDistinct("ushers") === 3)   // she, he, hers
+    assert(ac.countDistinct("his hers") === 3) // his, he, hers
+    assert(ac.countDistinct("h e l l o") === 0)
+    assert(ac.countDistinct("") === 0)
+    assert(ac.countDistinct("hehehe") === 1)   // distinct, not occurrences
+  }
+
+  test("Aho-Corasick: randomized differential vs String.contains over a 2-char alphabet") {
+    // tiny alphabet maximizes shared prefixes/suffixes — the hardest case
+    // for goto/fail construction; seeded, so failures reproduce
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 1 to 50) {
+      val pats = (1 to (2 + rnd.nextInt(8))).map(_ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => if (rnd.nextBoolean()) 'a' else 'b')
+          .mkString).distinct.toArray
+      val ac = new graft.functions.AcAutomaton(pats)
+      for (_ <- 1 to 20) {
+        val text = (0 until rnd.nextInt(40)).map(_ =>
+          if (rnd.nextBoolean()) 'a' else 'b').mkString
+        val expected = pats.count(text.contains(_))
+        val got = ac.countDistinct(text)
+        assert(got === expected,
+          s"trial $trial: patterns=${pats.mkString(",")} text=$text: ac=$got contains=$expected")
+      }
+    }
+  }
+
+  test("blocklist phrase gate: automaton == declarative contains on corpus + adversarial phrases") {
+    // phrases sharing prefixes/suffixes and nested phrases — the shapes a
+    // broken fail chain miscounts
+    val phrases = Seq("sort merge", "sort merge join", "merge join",
+      "join order", "order by x", "a b", "b a")
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet").limit(300)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (-1L, "a sort merge join order by x here"),
+        (-2L, "sort  merge   join"), (-3L, "a b a b a"),
+        (-4L, "SORT MERGE"), (-5L, "")).toDF("doc_id", "text"))
+    val canon = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
+    val out = docs.select(col("doc_id"),
+      graft.functions.MultiContainsCount(
+        concat(lit(" "),
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), lit(" ")),
+        canon.sorted.map(p => s" $p ")).as("ac"),
+      graft.text.Blocklist.phraseHitsDeclarative(col("text"), canon).as("dec"))
+    assert(out.where(col("ac") =!= col("dec")).count() === 0,
+      "automaton and contains-per-phrase must count identically")
+    val m = out.where(col("doc_id") < 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // -1: "sort merge", "sort merge join", "merge join", "join order",
+    //     "order by x", "a b" (from "a sort"? no — whole-token: " a b "
+    //     needs tokens a,b adjacent — not present) → 5
+    assert(m(-1L) === 5, s"got ${m(-1L)}")
+    assert(m(-2L) === 3) // whitespace canonicalization folds runs
+    assert(m(-3L) === 2) // "a b" and "b a"
+    assert(m(-4L) === 1) // case folds
+    assert(m(-5L) === 0)
+  }
+
   test("winnow: null text selects nothing (empty array), matching the shorter-than-k rule") {
     val df = Seq((1L, "abcdefghij"), (2L, null.asInstanceOf[String]), (3L, "ab"))
       .toDF("id", "text")
