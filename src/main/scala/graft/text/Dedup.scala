@@ -128,6 +128,52 @@ object Dedup {
       pairs.select(col(idA).as("a"), col(idB).as("b"))
         .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
         .distinct())
+    // SMALL-GRAPH SHORTCUT: when the whole (doubled, deduped) edge set
+    // fits the driver-finish bound, skip BSP entirely — the same min-root
+    // union-find the driver finish applies to the ACTIVE subgraph, applied
+    // here to the full graph: two jobs total instead of rounds × (join +
+    // checkpoint) jobs. The spec-pinned equivalence is identical (min-root
+    // union-find ≡ min-label propagation). At production scale this is one
+    // cheap limit-probe on the cached frame and the BSP path proceeds;
+    // at bench scale it removes the fixed per-round job latency that
+    // dominated q44/q47/q62 (the pair graphs there are a few hundred
+    // edges). 2× the bound: `edges` carries both directions.
+    if (driverFinishEdges > 0) {
+      val sample = edges.limit(2 * driverFinishEdges + 1).collect()
+      if (sample.length <= 2 * driverFinishEdges) {
+        def less(x: Any, y: Any): Boolean =
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+        sample.foreach { e =>
+          val (a, b) = (e.get(0), e.get(1))
+          nodes += a; nodes += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (less(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
+        if (sys.env.contains("GRAFT_DEBUG_CC"))
+          System.err.println(
+            s"[cc] small-graph shortcut: edges=${sample.length} nodes=${nodes.size}")
+        val spark = pairs.sparkSession
+        val dt = edges.schema("a").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", dt),
+          org.apache.spark.sql.types.StructField("cluster_id", dt)))
+        val rows = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+        edges.unpersist()
+        lastCcRounds = 0
+        lastCcDriverFinished = true
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+      }
+    }
     var labels = truncated(
       edges.select(col("a").as("id")).distinct()
         .withColumn("label", col("id")), reliable = true)

@@ -79,9 +79,11 @@ class PlanAuditSpec extends GraftSuite {
   test("resolveClusters truncates lineage: result plan is constant-size") {
     import spark.implicits._
     // a 16-node chain forces several propagation rounds; without per-round
-    // truncation the plan would double each round (the round-2 OOM bug)
+    // truncation the plan would double each round (the round-2 OOM bug).
+    // driverFinishEdges = 0 forces the BSP path — the default would take
+    // the round-5 small-graph shortcut and never exercise the loop
     val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = graft.text.Dedup.resolveClusters(pairs)
+    val out = graft.text.Dedup.resolveClusters(pairs, driverFinishEdges = 0)
     val nodes = out.queryExecution.logical.collect { case n => n }.size
     assert(nodes <= 10,
       s"resolveClusters leaked lineage across rounds ($nodes logical nodes)")
