@@ -185,6 +185,14 @@ class Round5Spec extends GraftSuite {
     assert(ac.countDistinct("h e l l o") === 0)
     assert(ac.countDistinct("") === 0)
     assert(ac.countDistinct("hehehe") === 1)   // distinct, not occurrences
+    // the automaton ships to executors inside the serialized plan on a
+    // real cluster (local mode never exercises that path) — roundtrip it
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(ac)
+    val ac2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.functions.AcAutomaton]
+    assert(ac2.countDistinct("ushers") === 3 && ac2.countDistinct("x") === 0)
   }
 
   test("Aho-Corasick: randomized differential vs String.contains over a 2-char alphabet") {
