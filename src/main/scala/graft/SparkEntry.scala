@@ -691,11 +691,18 @@ object SparkEntry {
 
     "q58_repetition" -> ((s, dir) => {
       // Gopher/C4-family repetition quality rules: duplicate word-n-gram
-      // fraction for n=2 and n=5
+      // fraction for n=2 and n=5. Tokenize ONCE and share the array across
+      // both n's (CollapseProject keeps the non-cheap alias; the round-5
+      // form lowered+split+filtered the text twice per row — guide §1.2)
       import graft.text.TextQuality
-      Tables.load(s, dir, "documents").select(col("doc_id"),
-        round(TextQuality.dupNgramFraction(col("text"), 2), 6).as("dup2"),
-        round(TextQuality.dupNgramFraction(col("text"), 5), 6).as("dup5"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextHash.lowerTokens(col("text")).as("__tk"))
+        .select(col("doc_id"),
+          round(TextQuality.dupNgramFractionFromToks(col("__tk"), 2), 6)
+            .as("dup2"),
+          round(TextQuality.dupNgramFractionFromToks(col("__tk"), 5), 6)
+            .as("dup5"))
     }),
 
     "q59_bm25" -> ((s, dir) => {

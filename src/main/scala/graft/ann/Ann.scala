@@ -22,11 +22,21 @@ object Ann {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-fold dot product — same summation order as the SQL oracle. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product — same summation order as the SQL oracle.
+    * Native one-loop kernel ([[graft.functions.DotProductD]]); the HOF
+    * form it replaces allocated a zipped array per evaluation and walked
+    * it through interpreted lambdas — the dominant per-pair cost inside
+    * every quadratic rerank/near-dup step (guide §4). IEEE-op-identical
+    * (AnnSpec pins the parity against [[dotDeclarative]]).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProductD(a, b)
+
+  /** HOF twin of [[dot]] — kept ONLY as the parity-spec reference. */
+  private[graft] def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** ‖a‖ via the same left fold: acc + x·x in index order (dot(a, a)). */
+  def norm(a: Column): Column = sqrt(graft.functions.DotProductD(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -73,12 +83,19 @@ object Ann {
       roundTo: Int = 6,
       excludeSelf: Boolean = true
   ): DataFrame = {
+    // norms precomputed ONCE per row (not once per pair): cos(a,b) =
+    // dot/(na*nb) with na/nb the identical norm subexpressions evaluated
+    // before the quadratic step — bit-identical output, O(rows) instead of
+    // O(pairs) norm folds (guide §2.3: shuffle/compute the light proxy)
     val q = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
     val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
     val scored = q.crossJoin(c)
       .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")),
+          roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -108,18 +125,22 @@ object Ann {
   ): DataFrame = {
     require(probes <= planes, "cannot probe more bits than planes")
     val q0 = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
       .withColumn("bkey", signBucket(col("qv"), planes))
     val q =
       if (probes <= 0) q0
-      else q0.select(col("qid"), col("qv"),
+      else q0.select(col("qid"), col("qv"), col("__qn"),
         explode(array((col("bkey") +: (0 until probes).map(p =>
           col("bkey").bitwiseXOR(lit(1L << p)))): _*)).as("bkey"))
+    // per-row (not per-pair) norms, as in bruteTopK — value-identical
     val c = corpus.select(col("cid"), toDouble(col("vec")).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
       .withColumn("bkey", signBucket(col("cv"), planes))
     val scored = q.join(c, Seq("bkey"))
       .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")),
+          roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -265,13 +286,17 @@ object Ann {
   ): DataFrame = {
     val c = assignCentroid(
       corpus.select(col("cid"), toDouble(col("vec")).as("cv")), model.centroids)
+      .withColumn("__cn", norm(col("cv")))
     val q0 = queries.select(col("qid"), toDouble(col("vec")).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
     val q = q0.withColumn("__list",
       explode(probeLists(col("qv"), model.centroids, nProbe)))
+    // per-row (not per-pair) norms, as in bruteTopK — value-identical
     val scored = q.join(c, Seq("__list"))
       .where(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")),
+          roundTo).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

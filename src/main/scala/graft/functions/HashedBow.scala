@@ -11,6 +11,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   * bucket j = h mod dim, sign from hash bit 8 — the classic signed hashing
   * trick (Weinberger et al. 2009) that keeps collisions unbiased.
   *
+  * dim is capped at 256: the sign comes from hash bit 8, so for any
+  * power-of-two dim > 256 bit 8 is part of the bucket index and every
+  * token colliding in a bucket would share a sign — silently degrading
+  * signed hashing to plain (bias-accumulating) hashing (round-5 advisor
+  * finding). 256 is the production width the suite ships (q71); raising
+  * the cap requires moving the sign to a bit independent of the bucket
+  * in BOTH this kernel and the declarative/oracle twins (a value-breaking
+  * change — the three must move together).
+  *
   * Native kernel: ONE int-array accumulator pass over the tokens —
   * O(tokens + dim) per row. The declarative HOF twin
   * ([[graft.text.TextHash.hashedBowDeclarative]], pinned equal by spec)
@@ -23,7 +32,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   * comparable with no rounding; empty token array → all-zero vector.
   */
 case class HashedBow(child: Expression, dim: Int) extends UnaryExpression {
-  require(dim >= 1 && dim <= 65536, s"dim must be in [1,65536], got $dim")
+  // <= 256, NOT 65536: sign bit 8 must sit above the bucket bits (scaladoc)
+  require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -85,17 +85,31 @@ object Blocklist {
     * Shape: canonicalization is shared with [[score]] (same lowercase/
     * whitespace folding on BOTH terms and text). Word hits are an explode +
     * broadcast equi-join on the token — each document token probes a hash
-    * table once, independent of list size. Phrase hits use a banded FIRST-
-    * TOKEN prefilter: a phrase can only match a document containing its
-    * first token, so candidates come from the same broadcast token join,
-    * and only candidate (doc, phrase) pairs re-fetch the padded text for
-    * the sentinel `contains` verify — the PPJoin candidate/verify shape,
-    * never |docs|×|phrases|.
+    * table once, independent of list size. Phrase hits use a banded
+    * RAREST-TOKEN prefilter: a phrase match implies every phrase token is
+    * a whole token of the document (the text is whitespace-canonicalized
+    * before the sentinel `contains`), so each phrase is banded by its
+    * corpus-RAREST token — document frequencies counted over the same
+    * distinct-token explode, restricted to tokens any phrase uses — and
+    * candidates come from the broadcast token join on that band token.
+    * Only candidate (doc, phrase) pairs re-fetch the padded text for the
+    * verify — the PPJoin candidate/verify discipline ([[Dedup.prefixOf]]
+    * ranks shingles by the same global-rarity rule). Banding by the FIRST
+    * token (the round-5 shape) degenerates on real compliance lists,
+    * which are dense in stop-word-initial phrases ("the …", "how to …"):
+    * every document containing "the" became a candidate for every such
+    * phrase. Rarest-token banding keeps the candidate count
+    * O(docs containing the band token), which for any phrase with at
+    * least one non-stop-word token is corpus-tiny; a phrase whose tokens
+    * are ALL corpus-frequent is genuinely hard for any banding scheme —
+    * then the Aho–Corasick literal path ([[score]]) is the right tool.
     *
     * `terms` must have a string column `termCol`; empty/whitespace terms
     * are dropped. `idCol` must uniquely identify rows (the hit counts are
     * aggregated per id and joined back — duplicate ids would merge counts
-    * across rows, where [[score]] scores each row independently).
+    * across rows, where [[score]] scores each row independently) and be
+    * NON-NULL (a null id never equi-joins its counts back: such rows
+    * would score 0 hits where [[score]] evaluates the text).
     * Returns `df` + (n_word_hits, n_phrase_hits, blocked).
     */
   def scoreJoin(
@@ -110,7 +124,6 @@ object Blocklist {
       .where(col("__term") =!= "").distinct()
     val words = canon.where(!col("__term").contains(" "))
     val phrases = canon.where(col("__term").contains(" "))
-      .withColumn("__tok0", split(col("__term"), " ").getItem(0))
     val base = df.select(col(idCol).as("__bid"),
       array_distinct(TextHash.lowerTokens(textCol)).as("__tk"),
       concat(lit(" "),
@@ -122,7 +135,8 @@ object Blocklist {
       .join(broadcast(words), col("__tok") === col("__term"))
       .groupBy(col("__bid")).agg(count(lit(1)).cast("int").as("__nw"))
     val phraseCand = toks
-      .join(broadcast(phrases), col("__tok") === col("__tok0"))
+      .join(broadcast(bandPhrases(phrases, toks)),
+        col("__tok") === col("__band"))
       .select(col("__bid"), col("__term"))
     val phraseHits = phraseCand
       .join(base.select(col("__bid"), col("__pad")), Seq("__bid"))
@@ -135,5 +149,29 @@ object Blocklist {
       .withColumn("blocked",
         col("n_word_hits") > 0 || col("n_phrase_hits") > 0)
       .drop("__nw", "__np")
+  }
+
+  /** (__term, __band) — each canonical phrase banded by its RAREST token
+    * under corpus document frequency (ties → lexicographically smallest
+    * token, deterministic at any parallelism). `toks` is the corpus's
+    * distinct-(doc, token) explode; frequencies are counted ONLY for
+    * tokens some phrase uses (a broadcast semi-join keeps the aggregation
+    * phrase-vocabulary-sized, not corpus-vocabulary-sized). A phrase token
+    * absent from the corpus gets df = 0 — banding on it yields zero
+    * candidates, which is exact: a phrase can only match a document
+    * containing ALL its tokens.
+    */
+  private[graft] def bandPhrases(phrases: DataFrame, toks: DataFrame): DataFrame = {
+    val ptoks = phrases.select(col("__term"),
+      explode(split(col("__term"), " ")).as("__ptok")).distinct()
+    val pdf = toks
+      .join(broadcast(ptoks.select(col("__ptok")).distinct()),
+        col("__tok") === col("__ptok"))
+      .groupBy(col("__ptok")).agg(count(lit(1)).as("__df"))
+    ptoks.join(pdf, Seq("__ptok"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .groupBy(col("__term"))
+      .agg(min_by(col("__ptok"), struct(col("__df"), col("__ptok")))
+        .as("__band"))
   }
 }

@@ -151,6 +151,46 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]
   ): DataFrame = {
+    // Merges run over the WHOLE row once, not once per token: the
+    // canonical token join is delimited in one regex pass and each merge
+    // is 2 `regexp_replace` calls per ROW (the round-5 form paid
+    // 2·|merges| regex invocations per TOKEN through a `transform`
+    // lambda — regex setup dominated; guide §4). Identical output
+    // (SpanBpeSpec pins it against [[encodePerWord]]): a merge pattern
+    // `␁a␁b␁` can never span two tokens — the boundary between delimited
+    // tokens is `␁ ␁` and merge symbols contain no spaces — and the
+    // left-to-right double-pass fixpoint argument (see [[applyMerges]])
+    // is per-token-local for the same reason.
+    val tk = TextHash.lowerTokens(col(textCol))
+    val joined = array_join(tk, " ")
+    val delimited = concat(regexp_replace(joined, "(.)", Sep + "$1"), lit(Sep))
+    val merged = applyMerges(delimited, merges)
+    // per-token subword groups: token boundaries are exactly `␁ ␁`;
+    // within a token, dropping empty fragments strips the outer
+    // separators that split() re-emits
+    val enc = transform(split(merged, Sep + " " + Sep),
+      w => filter(split(w, Sep), x => x =!= ""))
+    df.select(col(idCol).as("id"), tk.as("tk"), enc.as("__enc"))
+      .select(col("id").as(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(aggregate(
+          when(size(col("tk")) === 0, array().cast("array<array<string>>"))
+            .otherwise(col("__enc")), lit(0L),
+          (acc, sw) => acc + size(sw).cast("long")), lit(0L)).as("n_subwords"),
+        when(size(col("tk")) === 0, lit(""))
+          .otherwise(array_join(transform(col("__enc"),
+            sw => array_join(sw, "+")), " ")).as("enc_text"))
+  }
+
+  /** Round-5 per-token form — kept ONLY as the parity-spec reference for
+    * the whole-row merge pass above.
+    */
+  private[graft] def encodePerWord(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
     val tk = TextHash.lowerTokens(col(textCol))
     val encWord = (w: Column) => {
       // ␁ before every char + a trailing ␁ = the delimited form (one

@@ -100,6 +100,21 @@ object Dedup {
   @volatile private[graft] var lastCcRounds: Int = 0
   @volatile private[graft] var lastCcDriverFinished: Boolean = false
 
+  /** The id ordering BOTH driver union-find finishes use: for strings,
+    * UTF-8 binary order (`UTF8String.compareTo`) — what Spark's `min`
+    * aggregation applies on the BSP path — NOT Java's UTF-16 code-unit
+    * order (they diverge on non-BMP code points: surrogates sort above
+    * 0xE000.. in UTF-16 but below in UTF-8, which made the chosen cluster
+    * keeper path-dependent — round-5 advisor finding). Numerics and other
+    * Comparables are untouched.
+    */
+  private def minLess(x: Any, y: Any): Boolean = (x, y) match {
+    case (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+  }
+
   def resolveClusters(
       pairs: DataFrame,
       idA: String = "id_a",
@@ -141,8 +156,7 @@ object Dedup {
     if (driverFinishEdges > 0) {
       val sample = edges.limit(2 * driverFinishEdges + 1).collect()
       if (sample.length <= 2 * driverFinishEdges) {
-        def less(x: Any, y: Any): Boolean =
-          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+        val less = minLess _
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
         def find(x: Any): Any = {
           var r = x
@@ -191,8 +205,9 @@ object Dedup {
     // union-find. Correct because min-propagation only ever assigns labels
     // from within a node's own component, the label graph preserves
     // component connectivity, and the true component minimum m always has
-    // label m (nothing smaller exists to overwrite it). Comparable-based
-    // min matches Spark's ordering for numeric and ASCII string ids.
+    // label m (nothing smaller exists to overwrite it). [[minLess]] orders
+    // string ids by UTF-8 bytes — identical to the BSP path's Spark `min`
+    // for EVERY string, non-BMP included (round-5 advisor finding).
     def tryDriverFinish(): Boolean = {
       val spark = pairs.sparkSession
       val la = labels.select(col("id").as("a"), col("label").as("la"))
@@ -207,8 +222,7 @@ object Dedup {
       val active = cross.unionByName(chains).distinct()
         .limit(driverFinishEdges + 1).collect()
       if (active.length > driverFinishEdges) { finishAttempts -= 1; return false }
-      def less(x: Any, y: Any): Boolean =
-        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      val less = minLess _
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {
         var r = x
@@ -547,10 +561,9 @@ object Dedup {
     // [[dedupIncrementalBloomIndexed]] ingest with zero corpus scans.
     bloomFpp.foreach { fpp =>
       val idx = readIndex(corpus.sparkSession, root)
-      graft.lake.IcebergLite.putBlob(root, "bloom-digest",
-        bloomOf(idx.select(xxhash64(col("__md5")).as("k")), "k", fpp))
-      graft.lake.IcebergLite.putBlob(root, "bloom-shingle",
-        bloomOf(idx.select(explode(col("sh")).as("k")), "k", fpp))
+      val (dg, sh) = bloomPairOf(idx, fpp)
+      graft.lake.IcebergLite.putBlob(root, "bloom-digest", dg)
+      graft.lake.IcebergLite.putBlob(root, "bloom-shingle", sh)
       graft.lake.IcebergLite.appendMetrics(root,
         s"""{"job":"dedup-index-blooms","fpp":$fpp}""")
     }
@@ -629,6 +642,49 @@ object Dedup {
     bos.toByteArray
   }
 
+  /** Native codegen Bloom aggregation (`bloom_filter_agg`): the same
+    * BloomFilterImpl bytes `stat.bloomFilter` builds, but as a Catalyst
+    * partial-merged aggregate — whole-stage codegen, no RDD row
+    * conversion, and (the point) several filters build in ONE pass when
+    * the key columns share a frame. numBits follows the same
+    * optimalNumOfBits(n, fpp) rule `BloomFilter.create(n, fpp)` applies,
+    * so the serialized bytes are identical to the stat path's.
+    */
+  private def bloomAggCol(key: org.apache.spark.sql.Column, n: Long,
+      fpp: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftBridge.expression(key),
+        GraftBridge.expression(lit(n)),
+        GraftBridge.expression(lit(bits))).toAggregateExpression())
+  }
+
+  /** BOTH ingest sketches (digest bloom, shingle bloom) of a prep/index
+    * frame in TWO total passes instead of four: one exploded scan sizes
+    * both filters (HLL over the same distinct sets the old per-filter
+    * passes saw — identical estimates), one builds both via
+    * [[bloomAggCol]]. Bloom inserts are idempotent, so feeding the digest
+    * key once per shingle (the exploded grain; explode_outer keeps
+    * zero-shingle docs) sets exactly the bits the row-grain build set —
+    * byte-identical sketches, half the corpus scans (guide §1.2: fewer
+    * passes first). Sizing margins match [[bloomOf]].
+    */
+  private[graft] def bloomPairOf(prep: DataFrame, fpp: Double): (Array[Byte], Array[Byte]) = {
+    val keys = prep.select(xxhash64(col("__md5")).as("dk"),
+      explode_outer(col("sh")).as("k"))
+    val counts = keys.agg(
+      approx_count_distinct(col("dk"), 0.01),
+      approx_count_distinct(col("k"), 0.01)).head()
+    val nDg = math.max((counts.getLong(0) * 1.1).toLong, 64L)
+    val nSh = math.max((counts.getLong(1) * 1.1).toLong, 64L)
+    val built = keys.agg(
+      bloomAggCol(col("dk"), nDg, fpp),
+      bloomAggCol(col("k"), nSh, fpp)).head()
+    (built.getAs[Array[Byte]](0), built.getAs[Array[Byte]](1))
+  }
+
   /** `might_contain(bloom, key)` over a serialized sketch — Spark's native
     * runtime-filter expression with the bloom riding as one binary literal
     * (deserialized once per task, not per row).
@@ -673,10 +729,9 @@ object Dedup {
   ): DataFrame = {
     val bp = prepDocs(batch, idCol, textCol, blockKey, shingleN)
     val cp = prepDocs(corpus, idCol, textCol, blockKey, shingleN)
-    val digestBloom = bloomOf(
-      cp.select(xxhash64(col("__md5")).as("k")), "k", fpp)
-    val shingleBloom = bloomOf(
-      cp.select(explode(col("sh")).as("k")), "k", fpp)
+    // both sketches in two passes over the cached prep (was four — the
+    // measured bulk of q84's cost; sketch bytes identical)
+    val (digestBloom, shingleBloom) = bloomPairOf(cp, fpp)
     dedupIncrementalBloomPrepped(batch, bp, cp, digestBloom, shingleBloom,
       idCol, threshold)
   }
@@ -951,8 +1006,18 @@ object Dedup {
       textCol: String,
       minDocFreq: Long
   ): DataFrame = {
-    val lines = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // ONE materialized (id, n_lines, pos, line) frame feeds the frequency
+    // agg, the keep join AND the per-doc n_lines — the text is split and
+    // scanned exactly once (the round-5 form re-split the full text on
+    // both the lines side and the n_lines side; at 100 TB that second
+    // corpus scan is the cost that counts — VERDICT r5 task #7). n_lines
+    // rides the exploded rows as one long; split() never returns an empty
+    // array (empty text → [""]), so every doc keeps >= 1 exploded row and
+    // the n_lines frame below covers all ids.
+    val lines = materialize(
+      df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
+        .select(col("id"), size(col("__ls")).cast("long").as("n_lines"),
+          posexplode(col("__ls")).as(Seq("pos", "line"))))
     val freq = lines.select(col("id"), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("__df"))
     val boiler = freq.where(col("__df") >= minDocFreq).select(col("line"))
@@ -962,8 +1027,7 @@ object Dedup {
         concat_ws("\n",
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line"))).as("clean_text"))
-    df.select(col(idCol).as("id"),
-      size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+    lines.groupBy(col("id")).agg(max(col("n_lines")).as("n_lines"))
       .join(reassembled, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -996,13 +1060,20 @@ object Dedup {
     import graft.ann.Ann
     val corpus = df.select(col(idCol).as("cid"), col(vecCol).as("vec"))
     val model = Ann.ivfTrain(corpus, nClusters, iterations)
-    val assigned = materialize(Ann.assign(corpus, model))
-    val a = assigned.select(col("__list"), col("cid").as("id_a"), col("cv").as("v_a"))
-    val b = assigned.select(col("__list"), col("cid").as("id_b"), col("cv").as("v_b"))
+    // norm once per VECTOR (materialized with the assignment), not once per
+    // pair inside the in-bucket quadratic step — cos = dot/(na*nb) is the
+    // identical expression tree, so output is bit-identical (guide §4)
+    val assigned = materialize(
+      Ann.assign(corpus, model).withColumn("__n", Ann.norm(col("cv"))))
+    val a = assigned.select(col("__list"), col("cid").as("id_a"),
+      col("cv").as("v_a"), col("__n").as("n_a"))
+    val b = assigned.select(col("__list"), col("cid").as("id_b"),
+      col("cv").as("v_b"), col("__n").as("n_b"))
     val pairs = a.join(b, Seq("__list"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Ann.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+        round(Ann.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")),
+          6).as("cos"))
       .where(col("cos") >= threshold)
     val clusters = resolveClusters(pairs)
     df.select(col(idCol))
@@ -1020,18 +1091,24 @@ object Dedup {
       blockCap: Int = 1024
   ): DataFrame = {
     val v = graft.ann.Ann.toDouble(col(vecCol))
+    // norm once per vector before the in-bucket quadratic step (same
+    // doctrine as semanticDedup — dot/(na*nb) is value-identical)
     val bucketed = df.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("__n", graft.ann.Ann.norm(col("v")))
       .withColumn("bkey", graft.ann.Ann.signBucket(col("v"), planes))
     val capped = bucketed
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
       .where(col("bsize") <= blockCap).drop("bsize")
-    val a = capped.select(col("bkey"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = capped.select(col("bkey"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = capped.select(col("bkey"), col("id").as("id_a"),
+      col("v").as("v_a"), col("__n").as("n_a"))
+    val b = capped.select(col("bkey"), col("id").as("id_b"),
+      col("v").as("v_b"), col("__n").as("n_b"))
     a.join(b, Seq("bkey"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.ann.Ann.cosine(col("v_a"), col("v_b")).as("cosine"))
+        (graft.ann.Ann.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .distinct()
   }

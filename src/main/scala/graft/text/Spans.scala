@@ -104,6 +104,32 @@ object Spans {
       t => TextHash.polyHash(t))
     val p = df.select(col(idCol).as("id"), th.as("th"))
       .withColumn("nw", size(col("th")) - (k - 1))
+    // ONE native pass over the token-hash array ([[graft.functions
+    // .WindowHashes]]) instead of k interpreted element_at folds PER
+    // WINDOW (k=13 for decontamination — the declarative twin below is
+    // what it replaces, spec-pinned value-identical; guide §4)
+    p.where(col("nw") > 0)
+      .select(col("id"),
+        posexplode(graft.functions.WindowHashes(col("th"), k))
+          .as(Seq("pos0", "wh")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("wh"))
+  }
+
+  /** Declarative HOF twin of the kernel path in [[winHashFrame]] — kept
+    * ONLY as the parity-spec reference for [[graft.functions
+    * .WindowHashes]].
+    */
+  private[graft] def winHashFrameDeclarative(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    val th = transform(TextHash.lowerTokens(col(textCol)),
+      t => TextHash.polyHash(t))
+    val p = df.select(col(idCol).as("id"), th.as("th"))
+      .withColumn("nw", size(col("th")) - (k - 1))
     val winHashes = transform(
       sequence(lit(1), greatest(col("nw"), lit(0))),
       i => (0 until k).foldLeft(lit(0L): Column)((acc, j) =>

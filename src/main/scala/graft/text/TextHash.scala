@@ -215,7 +215,20 @@ object TextHash {
     * `k` select nothing. Fewer than `w` k-grams -> one fingerprint (the
     * global minimum), per the paper's boundary rule.
     */
-  def winnow(text: Column, k: Int, w: Int): Column = {
+  def winnow(text: Column, k: Int, w: Int): Column =
+    // ONE native pass ([[graft.functions.WinnowHashes]]): codepoints
+    // decoded once, window minima via a monotonic deque, sort+dedupe in
+    // place — replaces one substr+polyHash lambda per k-gram plus a
+    // slice allocation + array_min walk per window (guide §4; the
+    // declarative twin below is spec-pinned value-identical). Null text →
+    // empty array, matching the twin's guard.
+    coalesce(graft.functions.WinnowHashes(text, k, w),
+      array().cast("array<long>"))
+
+  /** Declarative HOF twin of [[winnow]] — kept ONLY as the parity-spec
+    * reference for the native kernel.
+    */
+  private[graft] def winnowDeclarative(text: Column, k: Int, w: Int): Column = {
     require(k >= 2, s"k-gram size must be >= 2, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
     val n = length(text) - (k - 1) // k-gram count (when length >= k)

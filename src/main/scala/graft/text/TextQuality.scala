@@ -110,8 +110,14 @@ object TextQuality {
     * 1 − distinct/total over the n-grams of the whitespace tokens; 0 when
     * the doc has fewer than n tokens.
     */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val t = toks(text)
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupNgramFractionFromToks(toks(text), n)
+
+  /** [[dupNgramFraction]] over a PRE-TOKENIZED column — callers computing
+    * several n's (the Gopher rule set uses 2..10) project the token array
+    * once and share it instead of re-tokenizing per n.
+    */
+  def dupNgramFractionFromToks(t: Column, n: Int): Column = {
     val cnt = size(t) - (n - 1)
     val grams = wordNgrams(t, n)
     when(cnt <= 0, lit(0.0)).otherwise(
