@@ -55,8 +55,14 @@ object Ann {
       lit((1L << 31).toDouble)) - 0.5
   }
 
-  /** Sign-bucket key: bit p = 1 iff dot(v, plane_p) > 0. */
+  /** Sign-bucket key: bit p = 1 iff dot(v, plane_p) > 0. Native one-pass
+    * kernel ([[graft.functions.SignBucketD]]) — the HOF twin below is the
+    * parity-spec reference (identical LCG planes and fold order).
+    */
   def signBucket(v: Column, planes: Int): Column =
+    graft.functions.SignBucketD(v, planes)
+
+  private[graft] def signBucketDeclarative(v: Column, planes: Int): Column =
     (0 until planes).map { p =>
       val d = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),

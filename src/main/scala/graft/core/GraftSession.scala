@@ -10,11 +10,21 @@ import org.apache.spark.sql.SparkSession
   * rather than the 200 default, UTC session time zone for oracle parity.
   */
 object GraftSession {
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    // Shuffle/spill scratch: default java.io.tmpdir sits on the sandbox's
+    // shared virtio disk, whose ±30% writeback noise (BASELINE.md §4) every
+    // shuffle file and spill inherits — the same reason the bench dir and
+    // checkpoint dir already default to tmpfs. Override with
+    // SPARK_GRAFT_LOCAL_DIR; on a real cluster point it at the fast local
+    // disks (NOT tmpfs — executor memory is the scarce resource there).
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-local"
+      else System.getProperty("java.io.tmpdir"))
     SparkSession
       .builder()
       .master(master)
       .appName("featureboxspark")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -31,6 +41,7 @@ object GraftSession {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+  }
 
   /** Local session sized from an env-provided cpu count (driver contract).
     * Shuffle partitions = 4× cores: keeps per-task sort buffers small

@@ -362,8 +362,11 @@ object Dedup {
       col(idCol).as("id"),
       TextHash.sortedShingleHashes(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("bkeys", TextHash.bandKeys(
-        TextHash.minhashSig(col("sh"), numHashes), bands, rows))
+      // sig + band keys in ONE native pass over the shingle array
+      // ([[graft.functions.MinhashBandKeys]]; declarative composition
+      // bandKeys(minhashSig(sh)) is the spec-pinned parity twin)
+      .withColumn("bkeys",
+        graft.functions.MinhashBandKeys(col("sh"), numHashes, bands))
       // materialize the per-doc prep once: the self-join + payload re-fetch
       // would otherwise recompute shingling/minhashing 4x (the operator-level
       // analog of the reference's lru_cache memoization, ugs.py:265)
@@ -452,6 +455,21 @@ object Dedup {
       idCol: String,
       threshold: Double,
       prefix: Option[DataFrame] = None
+  ): DataFrame =
+    ids.join(dupIdsFromPrepped(prepped, threshold, prefix)
+      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+
+  /** The ids a batch-internal dedup REMOVES (cluster members that are not
+    * their cluster's min-id keeper) — factored out so composite operators
+    * ([[dedupIncremental]]) can union every exclusion set and pay ONE
+    * anti join instead of one per set (set subtraction distributes over
+    * union; each join is its own AQE job, and at bench scale the
+    * composite operators were job-count-bound — guide §2.4).
+    */
+  private def dupIdsFromPrepped(
+      prepped: DataFrame,
+      threshold: Double,
+      prefix: Option[DataFrame]
   ): DataFrame = {
     val keepers = prepped.withColumn("__keeper",
       min(col("id")).over(
@@ -464,8 +482,7 @@ object Dedup {
     }
     val clusters = resolveClusters(
       exactEdges.unionByName(nearEdges.select(col("id_a"), col("id_b"))))
-    ids.join(clusters.where(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    clusters.where(col("id") =!= col("cluster_id")).select(col("id"))
   }
 
   /** Incremental dedup — the daily-ingest production shape: admit only the
@@ -509,23 +526,32 @@ object Dedup {
     // PPJoin passes (batch×corpus cross, batch self): the prefix theorem
     // holds for any fixed total order, so the union-wide df table serves
     // the self pass too. Round 4 rebuilt freq + prefix inside each
-    // ppjoinFromPrepped call — the measured q62/q84 residual. freq lazy:
-    // see ppjoinFromPrepped (caching the wide shingle table regresses).
-    val freq = shingleFreq(Seq(bp, cp))
+    // ppjoinFromPrepped call — the measured q62/q84 residual. freq is
+    // MATERIALIZED (round 6): two prefix frames consume it, and lazy it
+    // was aggregated once inside EACH prefix materialization; the cached
+    // (shingle, df) rows are narrow, and the cache also gives the planner
+    // real size stats for the prefix join (broadcast when vocabulary-
+    // sized). Note this caches the AGGREGATE — the round-5 regression was
+    // from caching the exploded long-form table, which is corpus-sized.
+    val freq = materialize(shingleFreq(Seq(bp, cp)))
     val bpPrefix = materialize(prefixOf(bp, freq, threshold))
     val cpPrefix = materialize(prefixOf(cp, freq, threshold))
-    // exact collisions with the corpus: digest semi-join (never the text)
+    // exact collisions with the corpus: digest semi-join (never the text;
+    // no distinct on the corpus side — semi joins ignore right-side dups)
     val exactHit = bp.select(col("id"), col("__md5"))
-      .join(cp.select(col("__md5")).distinct(), Seq("__md5"), "left_semi")
+      .join(cp.select(col("__md5")), Seq("__md5"), "left_semi")
       .select(col("id"))
     // near collisions with the corpus: cross-table prefix-filtered jaccard
     val nearHit = ppjoinFromPrefixed(cpPrefix, cp, Some((bpPrefix, bp)), threshold)
-      .select(col("id_b").as("id")).distinct()
-    // batch-internal keep-list (exact ∪ near clusters, min id kept)
-    dedupDocsFromPrepped(batch.select(col(idCol)), bp, idCol, threshold,
-      prefix = Some(bpPrefix))
-      .join(exactHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col("id_b").as("id"))
+    // ONE anti join against the union of every exclusion set (batch-
+    // internal cluster dups, corpus exact hits, corpus near hits) — was
+    // three sequential anti joins, each its own shuffle/job; dup ids in
+    // the union are harmless to an anti join, so no distinct needed
+    val exclude = dupIdsFromPrepped(bp, threshold, Some(bpPrefix))
+      .unionByName(exactHit).unionByName(nearHit)
+    batch.select(col(idCol))
+      .join(exclude.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Persist the corpus DEDUP INDEX — the (id, blk, sh, sz, __md5)
@@ -650,6 +676,9 @@ object Dedup {
     * optimalNumOfBits(n, fpp) rule `BloomFilter.create(n, fpp)` applies,
     * so the serialized bytes are identical to the stat path's.
     */
+  private[text] def bloomAggColAccess(key: org.apache.spark.sql.Column,
+      n: Long, fpp: Double): org.apache.spark.sql.Column = bloomAggCol(key, n, fpp)
+
   private def bloomAggCol(key: org.apache.spark.sql.Column, n: Long,
       fpp: Double): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftBridge
@@ -674,11 +703,19 @@ object Dedup {
   private[graft] def bloomPairOf(prep: DataFrame, fpp: Double): (Array[Byte], Array[Byte]) = {
     val keys = prep.select(xxhash64(col("__md5")).as("dk"),
       explode_outer(col("sh")).as("k"))
+    // rsd 0.05 (the HLL default), NOT 0.01: the high-precision registers
+    // made the sizing pass ~7x slower than the build pass it sizes
+    // (measured 1.5 s vs 0.2 s on the warm bench corpus), and precision
+    // buys nothing here — an undersized filter can only RAISE the
+    // realized fpp (more maybe-rows through the exact joins), never drop
+    // a document: Bloom filters have no false negatives at any size, and
+    // every positive is verified. The 1.2 margin is > 4 sigma of the
+    // estimator, so even the fpp drift is unlikely.
     val counts = keys.agg(
-      approx_count_distinct(col("dk"), 0.01),
-      approx_count_distinct(col("k"), 0.01)).head()
-    val nDg = math.max((counts.getLong(0) * 1.1).toLong, 64L)
-    val nSh = math.max((counts.getLong(1) * 1.1).toLong, 64L)
+      approx_count_distinct(col("dk"), 0.05),
+      approx_count_distinct(col("k"), 0.05)).head()
+    val nDg = math.max((counts.getLong(0) * 1.2).toLong, 64L)
+    val nSh = math.max((counts.getLong(1) * 1.2).toLong, 64L)
     val built = keys.agg(
       bloomAggCol(col("dk"), nDg, fpp),
       bloomAggCol(col("k"), nSh, fpp)).head()
@@ -749,28 +786,38 @@ object Dedup {
       idCol: String,
       threshold: Double
   ): DataFrame = {
-    val flagged = materialize(bp
-      .withColumn("__exP", mightContain(digestBloom, xxhash64(col("__md5"))))
-      .withColumn("__nearP", exists(col("sh"), h => mightContain(shingleBloom, h))))
-    // ONE rarity order + prefix frame per side, as in dedupIncremental.
-    // The bloom prunes the CROSS pass's batch side by filtering the shared
-    // prefix frame by flagged id — valid because the rank window partitions
-    // by id, so a row subset of the frame IS the subset's prefix.
-    val freq = shingleFreq(Seq(bp, cp))
+    // ONE rarity order + prefix frame per side, as in dedupIncremental
+    // (freq materialized there for the same two-consumer reason).
+    val freq = materialize(shingleFreq(Seq(bp, cp)))
     val bpPrefix = materialize(prefixOf(bp, freq, threshold))
     val cpPrefix = materialize(prefixOf(cp, freq, threshold))
-    val exactHit = flagged.where(col("__exP"))
+    // digest bloom: a pure `might_contain` FILTER ahead of the exact
+    // semi-join — rows the sketch rejects are guaranteed novel; the
+    // maybe-rows are exactly verified. (No materialized flag frame — the
+    // round-5 shape cached a per-id flag column and paid an extra
+    // cache fill + semi join for what one predicate expresses.)
+    val exactHit = bp
+      .where(mightContain(digestBloom, xxhash64(col("__md5"))))
       .select(col("id"), col("__md5"))
-      .join(cp.select(col("__md5")).distinct(), Seq("__md5"), "left_semi")
+      .join(cp.select(col("__md5")), Seq("__md5"), "left_semi")
       .select(col("id"))
-    val nearIds = flagged.where(col("__nearP")).select(col("id"))
+    // shingle bloom: prune the cross pass at PREFIX-ROW granularity — a
+    // batch prefix row whose own shingle is not in the corpus sketch can
+    // never produce a candidate (candidates require an equal corpus
+    // shingle, and EVERY corpus shingle is in the sketch: no false
+    // negatives), so the filter is exact, strictly sharper than the
+    // round-5 per-id flag (it drops non-corpus shingles of flagged docs
+    // too), and a zero-join zero-shuffle projection predicate.
+    val prunedBp = bpPrefix.where(mightContain(shingleBloom, col("shingle")))
     val nearHit = ppjoinFromPrefixed(cpPrefix, cp,
-        Some((bpPrefix.join(nearIds, Seq("id"), "left_semi"), bp)), threshold)
-      .select(col("id_b").as("id")).distinct()
-    dedupDocsFromPrepped(batch.select(col(idCol)), bp, idCol, threshold,
-      prefix = Some(bpPrefix))
-      .join(exactHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .join(nearHit.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        Some((prunedBp, bp)), threshold)
+      .select(col("id_b").as("id"))
+    // as in dedupIncrementalPrepped: ONE anti join over the unioned
+    // exclusion sets; no right-side distincts (anti joins ignore dups)
+    val exclude = dupIdsFromPrepped(bp, threshold, Some(bpPrefix))
+      .unionByName(exactHit).unionByName(nearHit)
+    batch.select(col(idCol))
+      .join(exclude.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs at production width: `words`×32-bit signatures
@@ -879,11 +926,15 @@ object Dedup {
     // Materialize the a-side prefix: the self-join references it on BOTH
     // sides, and ReuseExchange only dedupes up to the exchange boundary —
     // uncached, the whole explode+join+window subtree ran twice (measured
-    // at sf0.1: q27 4.3 → 1.3 s, q47 9.8 → 6.6 s warm). freq stays LAZY
-    // here deliberately: it is a wide shingle-keyed table whose cache
-    // write costs more than its partial-agg'd recompute (measured: caching
-    // it REGRESSED the cross mode q51 1.7 → 3.5 s).
-    val freq = shingleFreq(Seq(a) ++ b)
+    // at sf0.1: q27 4.3 → 1.3 s, q47 9.8 → 6.6 s warm). freq: lazy in
+    // SELF mode (one consumer — caching would be a pure write cost), but
+    // materialized in CROSS mode, where the a-prefix AND the (lazy)
+    // b-prefix each aggregated it separately (round 6; the round-5
+    // regression note referred to caching the exploded long-form rows,
+    // not this narrow aggregate).
+    val freq =
+      if (b.isEmpty) shingleFreq(Seq(a))
+      else materialize(shingleFreq(Seq(a) ++ b))
     ppjoinFromPrefixed(
       materialize(prefixOf(a, freq, threshold)), a,
       b.map(bp => (prefixOf(bp, freq, threshold), bp)), threshold)

@@ -70,13 +70,19 @@ object Retrieval {
     }
     val allTerms = lowered.flatMap(_._2).distinct
     val termIdx = allTerms.zipWithIndex.toMap
-    val t = TextHash.lowerTokens(col(textCol))
+    // tokenize ONCE into a projected column shared by the stats pass and
+    // every score column (the round-5 form rebuilt the token array once
+    // per consumer expression; CollapseProject keeps non-cheap aliases)
+    val tokCol = "__bm25_tk"
+    require(!df.columns.contains(tokCol), s"input column '$tokCol' reserved")
+    val withTok = df.withColumn(tokCol, TextHash.lowerTokens(col(textCol)))
+    val t = col(tokCol)
     // one stats pass: corpus size, total tokens, per-term doc frequencies
     val dfAggs = allTerms.zipWithIndex.map { case (w, i) =>
       sum(when(array_contains(t, w), 1L).otherwise(0L)).as(s"df_$i")
     }
     val aggs = Seq(sum(size(t).cast("long")).as("tot")) ++ dfAggs
-    val statsRow = df.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val statsRow = withTok.agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = statsRow.getAs[Long]("n")
     val tot = statsRow.getAs[Long]("tot")
     require(tot > 0, "corpus has zero tokens — avgdl undefined (NaN scores)")
@@ -91,10 +97,10 @@ object Retrieval {
       lit(idf(termIdx(w))) * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
     }
-    lowered.foldLeft(df.withColumn("n_tokens", size(t).cast("long"))) {
+    lowered.foldLeft(withTok.withColumn("n_tokens", size(t).cast("long"))) {
       case (acc, (nm, q)) =>
         acc.withColumn(nm, round(q.map(termScore).reduce(_ + _), 6))
-    }
+    }.drop(tokCol)
   }
 
   /** Corpus n-gram vocabulary statistics: the top-k most frequent word
@@ -163,7 +169,12 @@ object Retrieval {
       explode(graft.text.TextQuality.wordNgrams(col("__tk"), 2)).as("__bg"))
     val biCounts = bi.groupBy(col("__bg")).agg(count(lit(1)).as("__cb"))
     val uni = prepped.select(explode(col("__tk")).as("__tok"))
-    val uniCounts = uni.groupBy(col("__tok")).agg(count(lit(1)).as("__cu"))
+    // the unigram table is VOCAB-sized, and it has two consumers (the V
+    // count action below + the context join) — uncached, each consumer
+    // re-ran the full corpus tokenize/explode/agg pass. Caching the
+    // aggregate is the freq-table doctrine (never the exploded rows).
+    val uniCounts = Dedup.materialize(
+      uni.groupBy(col("__tok")).agg(count(lit(1)).as("__cu")))
     val vocab = uniCounts.count().toDouble
     // context count = unigram count of the LEFT word; last-position tokens
     // also count as context occurrences in c(v) — standard corpus counts
@@ -209,7 +220,10 @@ object Retrieval {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksDf = df.select(col(idCol).as("__id"),
       explode(TextHash.lowerTokens(col(textCol))).as("__tok"))
-    val counts = toksDf.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    // vocab-sized aggregate with two consumers (T+V totals action, score
+    // join) — cached so the corpus token pass runs once, not twice
+    val counts = Dedup.materialize(
+      toksDf.groupBy(col("__tok")).agg(count(lit(1)).as("__c")))
     val tv = counts.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v")).head()
     val denom = (tv.getAs[Long]("__t") + tv.getAs[Long]("__v")).toDouble
     val scored = toksDf.join(counts, Seq("__tok"))
