@@ -155,6 +155,31 @@ object IcebergLite {
     commit(root, parts, Seq(lineage))
   }
 
+  /** APPEND rows to an existing bucketed table and commit the grown
+    * partition totals — the daily-ingest write path: day N's admitted
+    * signature rows land next to the existing files of their bucket
+    * (same deterministic bucket expression), so day N+1 reads one grown
+    * table. Footer counts re-derive per-bucket totals metadata-only.
+    */
+  def appendTable(
+      df: DataFrame,
+      root: String,
+      bucketExpr: org.apache.spark.sql.Column,
+      nBuckets: Int,
+      lineage: String
+  ): Snapshot = {
+    val t0 = System.currentTimeMillis()
+    val withBucket = df.withColumn("bucket", pmod(bucketExpr, lit(nBuckets)))
+    withBucket.write.mode("append").partitionBy("bucket")
+      .parquet(dataDir(root))
+    val counts = footerCounts(dataDir(root))
+    val dur = System.currentTimeMillis() - t0
+    val parts = (0 until nBuckets).map(b =>
+      PartitionMeta(b, counts.getOrElse(b, 0L), dur / math.max(nBuckets, 1),
+        System.currentTimeMillis()))
+    commit(root, parts, Seq(lineage))
+  }
+
   def readTable(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(dataDir(root))
 

@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   * ONE Aho–Corasick automaton pass per row ([[graft.functions
   * .MultiContainsCount]] — the automaton rides as a codegen reference
   * object, so plan size is constant and per-row cost is O(len) at any
-  * phrase count). No join, no shuffle, no UDF. For million-entry lists
-  * the list is data, not configuration — use [[scoreJoin]].
+  * phrase count). No join, no shuffle, no UDF.
+  *
+  * WHICH PATH AT WHAT LIST SIZE (measured, BASELINE.md §7 — sf0.1
+  * corpus, 8 GB driver): the automaton wins to ~10⁴ entries (k=10³:
+  * 0.22 s vs 1.25 s; k=10⁴: 0.76 s vs 1.80 s, 6 MB serialized); by 10⁵
+  * the reference object is 65 MB — shipped with EVERY task closure — and
+  * the corpus pass loses 2.5× (10.4 s vs 4.1 s); at 10⁶ the automaton
+  * build itself exhausts the 8 GB driver heap while [[scoreJoin]] runs
+  * fine. Rule: [[score]] for config-sized lists (≲ 2·10⁴ — constant plan,
+  * zero shuffle), [[scoreJoin]] beyond (the list is data).
   */
 object Blocklist {
 
@@ -128,6 +136,10 @@ object Blocklist {
       array_distinct(TextHash.lowerTokens(textCol)).as("__tk"),
       concat(lit(" "),
         regexp_replace(lower(trim(textCol)), "\\s+", " "), lit(" ")).as("__pad"))
+    // three consumers (word hits, phrase candidates, band-token document
+    // frequencies) each recompute this tokenize+explode — measured CHEAPER
+    // than caching it (the exploded rows outweigh their recompute; same
+    // doctrine as oovRate's deliberate second scan)
     val toks = base.select(col("__bid"), explode(col("__tk")).as("__tok"))
     // tokens are DISTINCT per doc and terms distinct, so each (doc, term)
     // pair appears at most once — plain counts ARE distinct-term counts

@@ -595,6 +595,42 @@ object Dedup {
     }
   }
 
+  /** Append a day's ADMITTED documents to a persisted dedup index and
+    * refresh its Bloom blobs — the loop step of multi-day ingest: the new
+    * rows are prepped once (the only text access, batch-sized), appended
+    * into their buckets, and the sketches are rebuilt from the SIGNATURE
+    * TABLE (columnar, no corpus text, no re-shingle) so the next day's
+    * [[dedupIncrementalBloomIndexed]] admits against the grown corpus.
+    * `nBuckets` must match the original [[writeIndex]] call.
+    */
+  def appendIndex(
+      admitted: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: org.apache.spark.sql.Column,
+      shingleN: Int,
+      root: String,
+      nBuckets: Int = 32,
+      bloomFpp: Option[Double] = None
+  ): Unit = {
+    val prep = admitted.select(
+      col(idCol).as("id"), blockKey.as("blk"),
+      TextHash.sortedShingleHashes(col(textCol), shingleN).as("sh"),
+      md5(col(textCol)).as("__md5"))
+      .withColumn("sz", size(col("sh")))
+    graft.lake.IcebergLite.appendTable(prep, root,
+      pmod(graft.functions.PolyHash(col("blk").cast("string")), lit(nBuckets.toLong)),
+      nBuckets, lineage = s"dedup-index-append(shingleN=$shingleN)")
+    bloomFpp.foreach { fpp =>
+      val idx = readIndex(admitted.sparkSession, root)
+      val (dg, sh) = bloomPairOf(idx, fpp)
+      graft.lake.IcebergLite.putBlob(root, "bloom-digest", dg)
+      graft.lake.IcebergLite.putBlob(root, "bloom-shingle", sh)
+      graft.lake.IcebergLite.appendMetrics(root,
+        s"""{"job":"dedup-index-bloom-refresh","fpp":$fpp}""")
+    }
+  }
+
   def readIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     graft.lake.IcebergLite.readTable(spark, root).drop("bucket")
 

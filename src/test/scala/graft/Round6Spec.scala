@@ -238,6 +238,41 @@ class Round6Spec extends GraftSuite {
   }
 }
 
+class Round6IngestSpec extends GraftSuite {
+
+  test("3-day indexed ingest loop: every day's admissions == monolithic recompute") {
+    import graft.text.Dedup
+    val root = "/tmp/graft_ingest_loop_spec"
+    scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    def slice(d: Long) = docs.where(pmod(col("doc_id"), lit(4L)) === d)
+    Dedup.writeIndex(slice(0), "doc_id", "text", col("lang"), 3, root,
+      nBuckets = 4, bloomFpp = Some(0.03))
+    var admittedSoFar = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (day <- 1 to 3) {
+      val batch = slice(day.toLong)
+      val viaIndex = Dedup.withCache {
+        Dedup.dedupIncrementalBloomIndexed(batch, root,
+          "doc_id", "text", col("lang"), 3, 0.7)
+          .collect().map(_.getLong(0)).toSet
+      }
+      // append admitted rows + refresh blobs; next day reads the grown index
+      val admDocs = batch.where(col("doc_id").isin(viaIndex.toSeq: _*))
+      Dedup.appendIndex(admDocs, "doc_id", "text", col("lang"), 3, root,
+        nBuckets = 4, bloomFpp = Some(0.03))
+      val corpusSoFar = admittedSoFar.foldLeft(slice(0))(_ unionByName _)
+      val recomputed = Dedup.withCache {
+        Dedup.dedupIncremental(batch, corpusSoFar,
+          "doc_id", "text", col("lang"), 3, 0.7)
+          .collect().map(_.getLong(0)).toSet
+      }
+      assert(viaIndex === recomputed,
+        s"day $day: indexed admissions diverge from monolithic recompute")
+      admittedSoFar :+= admDocs
+    }
+  }
+}
+
 /** Accessors for `private[text]` internals the parity pins compare. */
 object TestAccess {
   def winHashFrame(df: org.apache.spark.sql.DataFrame, idCol: String,
