@@ -58,6 +58,32 @@ object StatRegistry {
     breeze.linalg.eigSym(dm).eigenvalues.toArray.sorted
   }
 
+  /** DataFrame-level route for `wquantile` stat specs over groups of ANY
+    * size (round-5 verdict task #8): dispatches to the WINDOW-path exact
+    * weighted quantile ([[WeightedStats.weightedQuantilesGrouped]] —
+    * running cumsum, O(1) state per row), which is spec-pinned
+    * value-identical to the buffered `wquantile` aggregate the column
+    * dispatch returns but has no group-size ceiling. Composed
+    * ExtraMix-style stat lists should take this route whenever a group
+    * may not fit an executor; specs are the same `"wquantile::q"`
+    * strings, output columns are named `wquantile_<q>`.
+    */
+  def wquantileGrouped(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      x: Column,
+      w: Column,
+      specs: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    val qs = specs.map { sp =>
+      val parts = sp.split("::")
+      require(parts.length == 2 && parts.head == "wquantile",
+        s"wquantileGrouped takes 'wquantile::q' specs, got '$sp'")
+      (s"wquantile_${parts(1)}", parts(1).toDouble)
+    }
+    WeightedStats.weightedQuantilesGrouped(df, keys, x, w, qs)
+  }
+
   /** Weighted mean absolute deviation about the weighted mean
     * (extrastats.py:115-128). Two passes expressed as one self-join-free
     * plan: compute the group mean with a window, then aggregate |x−μ|.

@@ -238,6 +238,31 @@ class Round6Spec extends GraftSuite {
   }
 }
 
+class Round6RegistrySpec extends GraftSuite {
+
+  test("registry wquantileGrouped (window path) == buffered wquantile aggregate") {
+    import graft.stats.{StatRegistry, WeightedStats}
+    val li = spark.read.parquet(s"$sfSmall/lineitem.parquet")
+    val viaRegistry = StatRegistry.wquantileGrouped(
+      li, Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+      Seq("wquantile::0.5", "wquantile::0.25"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      StatRegistry("wquantile::0.5")(col("l_extendedprice"), col("l_quantity"))
+        .as("q50"),
+      StatRegistry("wquantile::0.25")(col("l_extendedprice"), col("l_quantity"))
+        .as("q25"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(viaRegistry.keySet === agg.keySet)
+    viaRegistry.foreach { case (k, (a, b)) =>
+      assert(a === agg(k)._1 && b === agg(k)._2,
+        s"group $k: window route diverges from buffered aggregate")
+    }
+  }
+}
+
 class Round6IngestSpec extends GraftSuite {
 
   test("3-day indexed ingest loop: every day's admissions == monolithic recompute") {
