@@ -139,22 +139,22 @@ object Dedup {
     val reliableEvery = 4
     def truncated(df: DataFrame, reliable: Boolean): DataFrame =
       if (reliable && reliableOk) df.checkpoint() else df.localCheckpoint()
-    val edges = materialize(
-      pairs.select(col(idA).as("a"), col(idB).as("b"))
-        .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
-        .distinct())
-    // SMALL-GRAPH SHORTCUT: when the whole (doubled, deduped) edge set
-    // fits the driver-finish bound, skip BSP entirely — the same min-root
-    // union-find the driver finish applies to the ACTIVE subgraph, applied
-    // here to the full graph: two jobs total instead of rounds × (join +
-    // checkpoint) jobs. The spec-pinned equivalence is identical (min-root
-    // union-find ≡ min-label propagation). At production scale this is one
-    // cheap limit-probe on the cached frame and the BSP path proceeds;
-    // at bench scale it removes the fixed per-round job latency that
-    // dominated q44/q47/q62 (the pair graphs there are a few hundred
-    // edges). 2× the bound: `edges` carries both directions.
+    val raw = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    // SMALL-GRAPH SHORTCUT: when the whole (doubled) edge set fits the
+    // driver-finish bound, skip BSP entirely — the same min-root
+    // union-find the driver finish applies to the ACTIVE subgraph,
+    // applied here to the full graph: ONE limit-probe job total instead
+    // of rounds × (join + checkpoint) jobs. The probe runs on the RAW
+    // (un-deduped) union — union-find is idempotent under duplicate
+    // edges and its min-root result is edge-order-independent, so the
+    // distinct/materialize pair (an exchange + a cache fill per CC call)
+    // is paid ONLY when the graph overflows into the BSP path; dup-heavy
+    // small graphs merely probe a few extra rows (limit stops the scan
+    // early either way). The spec-pinned equivalence is identical
+    // (min-root union-find ≡ min-label propagation).
     if (driverFinishEdges > 0) {
-      val sample = edges.limit(2 * driverFinishEdges + 1).collect()
+      val sample = raw.limit(2 * driverFinishEdges + 1).collect()
       if (sample.length <= 2 * driverFinishEdges) {
         val less = minLess _
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
@@ -176,18 +176,18 @@ object Dedup {
           System.err.println(
             s"[cc] small-graph shortcut: edges=${sample.length} nodes=${nodes.size}")
         val spark = pairs.sparkSession
-        val dt = edges.schema("a").dataType
+        val dt = raw.schema("a").dataType
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", dt),
           org.apache.spark.sql.types.StructField("cluster_id", dt)))
         val rows = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
-        edges.unpersist()
         lastCcRounds = 0
         lastCcDriverFinished = true
         return spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), schema)
       }
     }
+    val edges = materialize(raw.distinct())
     var labels = truncated(
       edges.select(col("a").as("id")).distinct()
         .withColumn("label", col("id")), reliable = true)
