@@ -40,6 +40,25 @@ object R06Dissect {
       println(s"[dissect] $nm: jobs=${jobs.get - j0} stages=${stages.get - s0} tasks=${tasks.get - t0c}")
     }
 
+    // q47 split: prep / keepers+exact / self-ppjoin / CC / anti
+    for (r47 <- 1 to 2) {
+      val p47 = t(s"q47 prep ($r47)")(graft.text.DedupAccess.prep(
+        docs, "doc_id", "text", col("lang"), 3))
+      t(s"q47 prep force ($r47)")(force(p47))
+      val keepers = p47.withColumn("__keeper",
+        min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__md5"))))
+      t(s"q47 keepers ($r47)")(force(
+        keepers.where(col("id") =!= col("__keeper"))
+          .select(col("__keeper").as("id_a"), col("id").as("id_b"))))
+      val near = graft.text.DedupAccess.ppjoin(
+        graft.text.DedupAccess.mat(graft.text.DedupAccess.prefix(
+          p47, graft.text.DedupAccess.freq(Seq(p47)), 0.7)), p47, None, 0.7)
+      t(s"q47 self ppjoin ($r47)")(force(near))
+      t(s"q47 full ($r47)")(force(graft.text.Dedup.dedupDocs(
+        docs, "doc_id", "text", col("lang"), 3, 0.7)))
+      graft.text.Dedup.releaseCache()
+    }
     for (round <- 1 to 2) {
       println(s"[dissect] ---- round $round ----")
       val batch = docs.where(pmod(col("doc_id"), lit(7L)) === 0)
