@@ -752,9 +752,25 @@ object Dedup {
       approx_count_distinct(col("k"), 0.05)).head()
     val nDg = math.max((counts.getLong(0) * 1.2).toLong, 64L)
     val nSh = math.max((counts.getLong(1) * 1.2).toLong, 64L)
+    bloomPairSizedOf(prep, nDg, nSh, fpp)
+  }
+
+  /** Both ingest sketches in ONE pass given upper bounds on the distinct
+    * key counts — the path [[dedupIncrementalBloom]] takes: the cached
+    * corpus ROW count bounds the distinct digests and the materialized
+    * freq table's ROW count bounds the distinct shingles (both exact
+    * upper bounds — duplicate docs only shrink the digest set, and freq
+    * covers a superset side union), so the HLL sizing pass over the
+    * exploded signature frame disappears entirely. Oversizing only
+    * lowers realized fpp; admissions are invariant at any size.
+    */
+  private[graft] def bloomPairSizedOf(prep: DataFrame, nDg: Long, nSh: Long,
+      fpp: Double): (Array[Byte], Array[Byte]) = {
+    val keys = prep.select(xxhash64(col("__md5")).as("dk"),
+      explode_outer(col("sh")).as("k"))
     val built = keys.agg(
-      bloomAggCol(col("dk"), nDg, fpp),
-      bloomAggCol(col("k"), nSh, fpp)).head()
+      bloomAggCol(col("dk"), math.max(nDg, 64L), fpp),
+      bloomAggCol(col("k"), math.max(nSh, 64L), fpp)).head()
     (built.getAs[Array[Byte]](0), built.getAs[Array[Byte]](1))
   }
 
@@ -802,11 +818,17 @@ object Dedup {
   ): DataFrame = {
     val bp = prepDocs(batch, idCol, textCol, blockKey, shingleN)
     val cp = prepDocs(corpus, idCol, textCol, blockKey, shingleN)
-    // both sketches in two passes over the cached prep (was four — the
-    // measured bulk of q84's cost; sketch bytes identical)
-    val (digestBloom, shingleBloom) = bloomPairOf(cp, fpp)
+    // the sketches build in ONE pass: the rarity-order freq table (needed
+    // by the PPJoin passes anyway, materialized) and the cached corpus
+    // row count ARE exact upper bounds for the two distinct key counts,
+    // so no HLL sizing scan of the exploded signatures is ever run
+    // (round-5 paid four corpus-shaped passes here, round-6 first cut it
+    // to two; this is the last one beyond the build itself)
+    val freq = materialize(shingleFreq(Seq(bp, cp)))
+    val (digestBloom, shingleBloom) = bloomPairSizedOf(cp,
+      cp.count(), freq.count(), fpp)
     dedupIncrementalBloomPrepped(batch, bp, cp, digestBloom, shingleBloom,
-      idCol, threshold)
+      idCol, threshold, sharedFreq = Some(freq))
   }
 
   /** [[dedupIncrementalBloom]] body over prepped sides + prebuilt sketches
@@ -820,11 +842,13 @@ object Dedup {
       digestBloom: Array[Byte],
       shingleBloom: Array[Byte],
       idCol: String,
-      threshold: Double
+      threshold: Double,
+      sharedFreq: Option[DataFrame] = None
   ): DataFrame = {
     // ONE rarity order + prefix frame per side, as in dedupIncremental
-    // (freq materialized there for the same two-consumer reason).
-    val freq = materialize(shingleFreq(Seq(bp, cp)))
+    // (freq materialized there for the same two-consumer reason; callers
+    // that already built it for sketch sizing pass it in)
+    val freq = sharedFreq.getOrElse(materialize(shingleFreq(Seq(bp, cp))))
     val bpPrefix = materialize(prefixOf(bp, freq, threshold))
     val cpPrefix = materialize(prefixOf(cp, freq, threshold))
     // digest bloom: a pure `might_contain` FILTER ahead of the exact
